@@ -1,0 +1,431 @@
+"""FarHead: the sparse-query 3D detection head with streaming temporal memory.
+
+Reference: models/dense_heads/farhead.py (FarHead, 1245 LoC). TPU-first
+re-design decisions:
+
+  * The memory queue — plain python attributes in the reference
+    (farhead.py:446-508) — becomes an explicit `TemporalState` pytree carried
+    through the jitted step function, so streams recur functionally and the
+    buffers can be donated. Scene resets happen via the `prev_exists`
+    multiplicative mask (misc.py:7-11), never python branching.
+  * Dynamic 2D-proposal counts (farhead.py:710-827) are a static top-K budget
+    with a validity mask, produced by heads2d.select_proposals and lifted to
+    3D by `build_query2d_proposals`.
+  * Denoising query generation (GT-count dependent in the reference,
+    farhead.py:315-429) lives in train/dn.py with static (groups x max_gt x
+    samples) budgets; the head only consumes pre-built DN reference points and
+    the block-diagonal attention mask.
+  * The cls/reg branches are weight-shared across the 6 decoder layers — the
+    reference repeats the *same* module instance (farhead.py:248-251) — so a
+    single branch is applied to all stacked intermediates at once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..config import DecoderConfig, DeformableAggConfig, DepthNetConfig, HeadConfig, MultiDepthConfig
+from ..geometry import (denormalize_from_pc_range, inverse_sigmoid,
+                        lid_bin_to_depth, lid_depth_to_bin_floor,
+                        nerf_positional_encoding, normalize_to_pc_range,
+                        pos2posemb1d, pos2posemb3d, transform_points,
+                        unproject_to_lidar)
+from .decoder import Decoder
+from .layers import MLN, MLP, bias_init_with_prob
+
+
+class TemporalState(flax.struct.PyTreeNode):
+    """Streaming memory queue (farhead.py:446-508), one slot per batch lane.
+
+    Reference points / ego poses are stored in the global (city) frame between
+    frames; `pre_update` aligns them into the current ego frame."""
+    embedding: jax.Array    # (B, memory_len, C)
+    ref_points: jax.Array   # (B, memory_len, 3) metric
+    timestamp: jax.Array    # (B, memory_len, 1)
+    egopose: jax.Array      # (B, memory_len, 4, 4)
+    velo: jax.Array         # (B, memory_len, 2)
+
+
+def init_state(batch: int, cfg: HeadConfig, dtype=jnp.float32) -> TemporalState:
+    return TemporalState(
+        embedding=jnp.zeros((batch, cfg.memory_len, cfg.embed_dims), dtype),
+        ref_points=jnp.zeros((batch, cfg.memory_len, 3), dtype),
+        timestamp=jnp.zeros((batch, cfg.memory_len, 1), dtype),
+        egopose=jnp.zeros((batch, cfg.memory_len, 4, 4), dtype),
+        velo=jnp.zeros((batch, cfg.memory_len, 2), dtype),
+    )
+
+
+def build_query2d_proposals(proposals: Dict[str, jax.Array],
+                            depth_probs: jax.Array,
+                            feat_flatten: jax.Array,
+                            lidar2img: jax.Array,
+                            pad_hw: Tuple[int, int],
+                            depth_cfg: DepthNetConfig,
+                            md_cfg: MultiDepthConfig,
+                            pc_range,
+                            threshold: float,
+                            gt_depth_bins: Optional[jax.Array] = None,
+                            use_gt_depth: bool = False):
+    """Lift 2D proposals to 3D adaptive queries (farhead.py:710-827).
+
+    Args:
+      proposals: output of heads2d.select_proposals — boxes (B,K,4) cxcywh in
+        padded pixels, scores (B,K,1), cam_idx/flat_idx (B,K), valid (B,K).
+      depth_probs: (B, N, H8*W8, D+1) softmaxed depth distribution.
+      feat_flatten: (B, N, L_total, C) MLN-aligned features (context source,
+        farhead.py:577-579 gathers from the aligned feat_flatten).
+      lidar2img: (B, N, 4, 4).
+      gt_depth_bins: optional (B, N, H8*W8) LID bin indices painted from GT
+        instance depth (ins_depthmap) — used when use_gt_depth.
+
+    Returns (ref_points (B, K*topk, 3) in pc-range-normalized coords,
+             context (B, K*topk, C+1), valid (B, K*topk)).
+    """
+    b, k = proposals['cam_idx'].shape
+    cam_idx = proposals['cam_idx']
+    boxes = proposals['boxes']
+    scores = jnp.clip(proposals['scores'][..., 0], 1e-5, 1 - 1e-5)
+    valid = proposals['valid']
+    topk = max(md_cfg.topk, 1)
+    pad_h, pad_w = pad_hw
+    h8 = pad_h // depth_cfg.stride
+    w8 = pad_w // depth_cfg.stride
+
+    # center pixel on the stride-8 grid (farhead.py:736-742)
+    cx = jnp.clip(jnp.round(boxes[..., 0] / depth_cfg.stride), 0, w8 - 1)
+    cy = jnp.clip(jnp.round(boxes[..., 1] / depth_cfg.stride), 0, h8 - 1)
+    flat8 = (cy * w8 + cx).astype(jnp.int32)                  # (B, K)
+
+    def gather_bnk(src, cam, pos):
+        # src (B, N, L, C?) gather at (cam, pos) per (b, k)
+        bidx = jnp.arange(b)[:, None]
+        return src[bidx, cam, pos]
+
+    # per-proposal depth distribution (B, K, D+1)
+    probs = gather_bnk(depth_probs, cam_idx, flat8)
+    # 2D score log-odds relative to the threshold (farhead.py:773-775)
+    thr = threshold
+    log_odds = jnp.log(scores / (1 - scores)) - jnp.log(thr / (1 - thr))
+
+    if use_gt_depth and gt_depth_bins is not None:
+        # train-time GT depth for the main slot (farhead.py:585-592)
+        bin0 = gather_bnk(gt_depth_bins, cam_idx, flat8).astype(jnp.float32)
+        bins = bin0[..., None]                                # (B, K, 1)
+        dweights = jnp.ones_like(bins)
+        extra_valid = jnp.zeros((b, k, max(topk - 1, 0)), bool)
+    else:
+        vals, idxs = jax.lax.top_k(probs, topk)               # (B, K, topk)
+        bins = idxs.astype(jnp.float32)
+        dweights = vals / jnp.maximum(vals[..., :1], 1e-9)    # rescale (:778)
+        # static python computation of the 30 m bin boundary (farhead.py:759)
+        bs = 2.0 * (depth_cfg.depth_max - depth_cfg.depth_min) / (
+            depth_cfg.num_depth_bins * (1 + depth_cfg.num_depth_bins))
+        range_min_bin = int(-0.5 + 0.5 * (1.0 + 8.0 * (
+            md_cfg.range_min - depth_cfg.depth_min) / bs) ** 0.5)
+        extra_valid = jnp.broadcast_to(
+            (idxs[..., 0] >= range_min_bin)[..., None], (b, k, topk - 1)) \
+            if topk > 1 else jnp.zeros((b, k, 0), bool)
+
+    n_slots = bins.shape[-1]
+    depth = lid_bin_to_depth(bins, depth_cfg.depth_min, depth_cfg.depth_max,
+                             depth_cfg.num_depth_bins)        # (B, K, S)
+    # unproject each depth slot through img2lidar (farhead.py:792-811)
+    img2lidar = jnp.linalg.inv(lidar2img.astype(jnp.float32))
+    i2l = img2lidar[jnp.arange(b)[:, None], cam_idx]          # (B, K, 4, 4)
+    uv = boxes[..., :2]                                       # (B, K, 2)
+    pts = unproject_to_lidar(uv[:, :, None, :], depth[..., None],
+                             i2l[:, :, None])                 # (B, K, S, 3)
+    ref = normalize_to_pc_range(pts, pc_range)
+
+    # context features = aligned FPN feature at the proposal location plus the
+    # (depth-weighted) score log-odds channel (farhead.py:773-786)
+    ctx = gather_bnk(feat_flatten, cam_idx, proposals['flat_idx'])  # (B, K, C)
+    ctx = jnp.broadcast_to(ctx[:, :, None, :], (b, k, n_slots, ctx.shape[-1]))
+    lo = log_odds[..., None] * dweights[..., :n_slots]        # (B, K, S)
+    ctx = jnp.concatenate([ctx, lo[..., None].astype(ctx.dtype)], axis=-1)
+
+    slot_valid = jnp.concatenate(
+        [valid[..., None], valid[..., None] & extra_valid], axis=-1)[..., :n_slots]
+
+    # flatten slots: (B, K*S, ...)
+    ref = ref.reshape(b, k * n_slots, 3)
+    ctx = ctx.reshape(b, k * n_slots, -1)
+    slot_valid = slot_valid.reshape(b, k * n_slots)
+    ref = jax.lax.stop_gradient(ref)
+    ctx = jax.lax.stop_gradient(ctx)
+    return ref, ctx, slot_valid
+
+
+def build_attn_mask(pad_size: int, group_size: int, num_query: int, k2d: int,
+                    num_prop: int, mem_tail: int,
+                    proposal_valid: jax.Array,
+                    dn_valid: Optional[jax.Array]) -> jax.Array:
+    """Block-diagonal DN mask + invalid-proposal-key blocking
+    (farhead.py:393-412,623-631). True = blocked.
+
+    Query layout: [DN(pad), learned(num_query), proposals(k2d), prop(num_prop)]
+    Key layout:   [queries..., memory tail(mem_tail)].
+    """
+    b = proposal_valid.shape[0]
+    nq = pad_size + num_query + k2d + num_prop
+    nk = nq + mem_tail
+    qi = jnp.arange(nq)
+    ki = jnp.arange(nk)
+    q_group = jnp.where(qi < pad_size, qi // max(group_size, 1), -1)
+    k_group = jnp.where(ki < pad_size, ki // max(group_size, 1), -2)
+    # DN keys visible only to the same DN group
+    blocked = (k_group[None, :] >= 0) & (q_group[:, None] != k_group[None, :])
+    blocked = jnp.broadcast_to(blocked, (b, nq, nk))
+    # invalid DN slots blocked for everyone
+    if dn_valid is not None and pad_size > 0:
+        kd = jnp.zeros((b, nk), bool).at[:, :pad_size].set(~dn_valid)
+        blocked = blocked | kd[:, None, :]
+    # invalid proposal keys blocked for everyone
+    p0 = pad_size + num_query
+    kp = jnp.zeros((b, nk), bool).at[:, p0:p0 + k2d].set(~proposal_valid)
+    blocked = blocked | kp[:, None, :]
+    return blocked
+
+
+class FarHead(nn.Module):
+    head: HeadConfig
+    decoder: DecoderConfig
+    deform: DeformableAggConfig
+    depthnet: DepthNetConfig
+    pc_range: Tuple[float, ...]
+    spatial_shapes: Tuple[Tuple[int, int], ...]
+    pad_hw: Tuple[int, int]
+    threshold_2d: float = 0.1
+
+    # ------------------------------------------------------------------
+    def pre_update_memory(self, state: TemporalState, prev_exists, timestamp,
+                          ego_pose_inv, pseudo_ref) -> TemporalState:
+        """farhead.py:453-477 — align memory into the current ego frame, zero
+        it on scene change, seed pseudo reference points on fresh streams."""
+        b = prev_exists.shape[0]
+        x = prev_exists.reshape(b, 1, 1).astype(state.embedding.dtype)
+        ts = state.timestamp + timestamp.reshape(b, 1, 1)
+        ego = jnp.einsum('bij,bmjk->bmik', ego_pose_inv, state.egopose)
+        ref = transform_points(state.ref_points, ego_pose_inv)
+        ts = ts * x
+        ref = ref * x
+        emb = state.embedding * x
+        ego = ego * x.reshape(b, 1, 1, 1)
+        velo = state.velo * x
+        np_ = self.head.num_propagated
+        if np_ > 0:
+            fresh = (1.0 - x)
+            pseudo = denormalize_from_pc_range(pseudo_ref, self.pc_range)
+            ref = ref.at[:, :np_].add(fresh * pseudo[None])
+            eye = jnp.eye(4, dtype=ego.dtype)
+            ego = ego.at[:, :np_].add(fresh.reshape(b, 1, 1, 1) * eye)
+        return TemporalState(emb, ref, ts, ego, velo)
+
+    def post_update_memory(self, state: TemporalState, cls_scores, bbox_preds,
+                           out_dec_last, query_valid, timestamp, ego_pose
+                           ) -> TemporalState:
+        """farhead.py:479-508 — prepend the top-k scored queries, re-express
+        in the global frame. Inputs exclude DN queries."""
+        c = self.head
+        score = jax.nn.sigmoid(cls_scores).max(axis=-1)         # (B, Q)
+        score = jnp.where(query_valid, score, -1.0)
+        _, top_idx = jax.lax.top_k(score, c.topk_proposals)     # (B, k)
+
+        def take(a):
+            return jnp.take_along_axis(
+                a, top_idx.reshape(*top_idx.shape, *([1] * (a.ndim - 2))), axis=1)
+
+        rec_ref = jax.lax.stop_gradient(take(bbox_preds[..., :3]))
+        rec_velo = jax.lax.stop_gradient(take(bbox_preds[..., -2:]))
+        rec_emb = jax.lax.stop_gradient(take(out_dec_last))
+        rec_ts = jnp.zeros((*top_idx.shape, 1), state.timestamp.dtype)
+        b = top_idx.shape[0]
+        rec_ego = jnp.broadcast_to(jnp.eye(4, dtype=state.egopose.dtype),
+                                   (b, c.topk_proposals, 4, 4))
+
+        emb = jnp.concatenate([rec_emb, state.embedding], 1)[:, :c.memory_len]
+        ts = jnp.concatenate([rec_ts, state.timestamp], 1)[:, :c.memory_len]
+        ego = jnp.concatenate([rec_ego, state.egopose], 1)[:, :c.memory_len]
+        ref = jnp.concatenate([rec_ref, state.ref_points], 1)[:, :c.memory_len]
+        velo = jnp.concatenate([rec_velo, state.velo], 1)[:, :c.memory_len]
+        ref = transform_points(ref, ego_pose)
+        ts = ts - timestamp.reshape(b, 1, 1)
+        ego = jnp.einsum('bij,bmjk->bmik', ego_pose, ego)
+        return TemporalState(emb, ref, ts, ego, velo)
+
+    # ------------------------------------------------------------------
+    @nn.compact
+    def __call__(self,
+                 feat_flatten: jax.Array,       # (B*N, L_total, C) raw
+                 lidar2img: jax.Array,          # (B, N, 4, 4)
+                 intrinsics: jax.Array,         # (B, N, 4, 4) or (B, N, 3, 3)
+                 extrinsics: jax.Array,         # (B, N, 4, 4)
+                 state: TemporalState,
+                 prev_exists: jax.Array,        # (B,)
+                 timestamp: jax.Array,          # (B,)
+                 ego_pose: jax.Array,           # (B, 4, 4)
+                 ego_pose_inv: jax.Array,       # (B, 4, 4)
+                 proposals: Optional[Dict[str, jax.Array]] = None,
+                 depth_probs: Optional[jax.Array] = None,
+                 gt_depth_bins: Optional[jax.Array] = None,
+                 dn_ref_points: Optional[jax.Array] = None,  # (B, pad, 3)
+                 dn_valid: Optional[jax.Array] = None,       # (B, pad)
+                 use_gt_depth: bool = False,
+                 deterministic: bool = True) -> Dict[str, Any]:
+        c = self.head
+        bn, l_total, ch = feat_flatten.shape
+        b = lidar2img.shape[0]
+        n = bn // b
+
+        # learned global queries + frozen pseudo reference points
+        ref_param = self.param('reference_points',
+                               nn.initializers.uniform(scale=1.0),
+                               (c.num_query, 3))
+        pseudo_ref = self.param('pseudo_reference_points',
+                                nn.initializers.uniform(scale=1.0),
+                                (c.num_propagated, 3))
+        pseudo_ref = jax.lax.stop_gradient(pseudo_ref)  # frozen (farhead.py:438)
+
+        state = self.pre_update_memory(state, prev_exists, timestamp,
+                                       ego_pose_inv, pseudo_ref)
+
+        # spatial alignment MLN over flattened features (farhead.py:553-565):
+        # condition = [fx/1e3, fy/1e3, extrinsics[:3,:4].flatten] (14 dims)
+        intr = intrinsics / 1e3
+        mln_in = jnp.concatenate(
+            [intr[..., 0, 0:1], intr[..., 1, 1:2],
+             extrinsics[..., :3, :].reshape(b, n, 12)], axis=-1)
+        mln_in = mln_in.reshape(bn, 1, 14).astype(feat_flatten.dtype)
+        feat_flatten = MLN(ch, use_ln=False, name='spatial_alignment')(
+            feat_flatten, mln_in)
+
+        # --- assemble query set -------------------------------------------
+        pad_size = 0 if dn_ref_points is None else dn_ref_points.shape[1]
+        ref_parts = []
+        if dn_ref_points is not None:
+            ref_parts.append(dn_ref_points)
+        ref_parts.append(jnp.broadcast_to(ref_param[None], (b, c.num_query, 3)))
+
+        query_embedding = MLP((c.embed_dims, c.embed_dims),
+                              name='query_embedding')
+
+        k2d = 0
+        ctx2d = None
+        prop_valid = None
+        if c.add_query_from_2d and proposals is not None:
+            feat_bn = feat_flatten.reshape(b, n, l_total, ch)
+            ref2d, ctx2d, prop_valid = build_query2d_proposals(
+                proposals, depth_probs, feat_bn, lidar2img, self.pad_hw,
+                self.depthnet, c.multi_depth, self.pc_range, self.threshold_2d,
+                gt_depth_bins, use_gt_depth)
+            k2d = ref2d.shape[1]
+            ref_parts.append(ref2d.astype(ref_parts[-1].dtype))
+        else:
+            prop_valid = jnp.zeros((b, 0), bool)
+
+        reference_points = jnp.concatenate(ref_parts, axis=1)
+        query_pos = query_embedding(pos2posemb3d(reference_points))
+        tgt = jnp.zeros_like(query_pos)
+        if ctx2d is not None:
+            ctx_emb = MLP((c.embed_dims, c.embed_dims), name='context_embed')(
+                ctx2d.astype(tgt.dtype))
+            tgt = tgt.at[:, pad_size + c.num_query:].set(ctx_emb)
+
+        # --- temporal alignment (farhead.py:284-313) ----------------------
+        temp_ref_norm = normalize_to_pc_range(state.ref_points, self.pc_range)
+        temp_pos = query_embedding(pos2posemb3d(temp_ref_norm))
+        temp_memory = state.embedding
+
+        if c.with_ego_pos:
+            ego_pose_pe = MLN(c.embed_dims, name='ego_pose_pe')
+            ego_pose_memory = MLN(c.embed_dims, name='ego_pose_memory')
+            rec_motion = jnp.concatenate(
+                [jnp.zeros_like(reference_points[..., :3]),
+                 jnp.broadcast_to(
+                     jnp.eye(4)[:3, :].reshape(1, 1, 12),
+                     (b, reference_points.shape[1], 12))], axis=-1)
+            rec_motion = nerf_positional_encoding(rec_motion.astype(tgt.dtype))
+            tgt = ego_pose_memory(tgt, rec_motion)
+            query_pos = ego_pose_pe(query_pos, rec_motion)
+            mem_motion = jnp.concatenate(
+                [state.velo, state.timestamp,
+                 state.egopose[..., :3, :].reshape(b, c.memory_len, 12)],
+                axis=-1)
+            mem_motion = nerf_positional_encoding(mem_motion.astype(tgt.dtype))
+            temp_pos = ego_pose_pe(temp_pos, mem_motion)
+            temp_memory = ego_pose_memory(temp_memory, mem_motion)
+
+        time_embedding = nn.Sequential([
+            nn.Dense(c.embed_dims, name='time_fc'),
+            nn.LayerNorm(name='time_ln')])
+        query_pos = query_pos + time_embedding(
+            pos2posemb1d(jnp.zeros_like(reference_points[..., :1])))
+        temp_pos = temp_pos + time_embedding(pos2posemb1d(state.timestamp))
+
+        # append propagated queries (farhead.py:305-311)
+        np_ = c.num_propagated
+        if np_ > 0:
+            tgt = jnp.concatenate([tgt, temp_memory[:, :np_]], axis=1)
+            query_pos = jnp.concatenate([query_pos, temp_pos[:, :np_]], axis=1)
+            reference_points = jnp.concatenate(
+                [reference_points, temp_ref_norm[:, :np_]], axis=1)
+            temp_memory = temp_memory[:, np_:]
+            temp_pos = temp_pos[:, np_:]
+
+        # --- attention mask ------------------------------------------------
+        attn_mask = build_attn_mask(
+            pad_size, c.dn_max_gt * c.num_smp_per_gt, c.num_query, k2d, np_,
+            temp_memory.shape[1], prop_valid, dn_valid)
+
+        # --- decode ---------------------------------------------------------
+        outs_dec = Decoder(self.decoder, self.deform, self.spatial_shapes,
+                           self.pad_hw, self.pc_range, name='decoder')(
+            tgt, query_pos, feat_flatten, temp_memory, temp_pos,
+            reference_points, lidar2img, attn_mask, deterministic)
+        outs_dec = jnp.nan_to_num(outs_dec.astype(jnp.float32))
+
+        # weight-shared cls/reg branches (farhead.py:228-251)
+        cls_branch = nn.Sequential([
+            nn.Dense(c.embed_dims, name='cls_fc0'), nn.LayerNorm(name='cls_ln0'),
+            nn.relu,
+            nn.Dense(c.embed_dims, name='cls_fc1'), nn.LayerNorm(name='cls_ln1'),
+            nn.relu,
+            nn.Dense(c.num_classes, name='cls_out',
+                     bias_init=nn.initializers.constant(
+                         bias_init_with_prob(0.01)))])
+        reg_branch = nn.Sequential([
+            nn.Dense(c.embed_dims, name='reg_fc0'), nn.relu,
+            nn.Dense(c.embed_dims, name='reg_fc1'), nn.relu,
+            nn.Dense(c.code_size, name='reg_out')])
+
+        all_cls = cls_branch(outs_dec)                   # (Lyr, B, Q, ncls)
+        tmp = reg_branch(outs_dec)                       # (Lyr, B, Q, code)
+        ref_logit = inverse_sigmoid(reference_points.astype(jnp.float32))
+        xyz = jax.nn.sigmoid(tmp[..., :3] + ref_logit[None])
+        xyz = denormalize_from_pc_range(xyz, self.pc_range)
+        all_bbox = jnp.concatenate([xyz, tmp[..., 3:]], axis=-1)
+
+        # --- memory update (exclude DN part) --------------------------------
+        real_cls = all_cls[:, :, pad_size:]
+        real_bbox = all_bbox[:, :, pad_size:]
+        real_valid = jnp.concatenate([
+            jnp.ones((b, c.num_query), bool), prop_valid,
+            jnp.ones((b, np_), bool)], axis=1)
+        new_state = self.post_update_memory(
+            state, real_cls[-1], real_bbox[-1],
+            outs_dec[-1][:, pad_size:], real_valid, timestamp, ego_pose)
+
+        return {
+            'all_cls_scores': real_cls,
+            'all_bbox_preds': real_bbox,
+            'dn_cls_scores': all_cls[:, :, :pad_size] if pad_size else None,
+            'dn_bbox_preds': all_bbox[:, :, :pad_size] if pad_size else None,
+            'query_valid': real_valid,
+            'state': new_state,
+        }

@@ -1,0 +1,110 @@
+"""Multi-scale deformable sampling — the heart of Far3D's perspective-aware
+aggregation (reference: mmcv MultiScaleDeformableAttnFunction CUDA op as called
+from detr3d_transformer.py:544-569).
+
+Far3D-specialized semantics (exploited for TPU efficiency): the sampling
+location of a key point is *shared across groups and levels* (the reference
+materializes a (B·cams, Q, G, L, P, 2) tensor by repeating one (B·cams, Q, P, 2)
+grid, detr3d_transformer.py:554-555). We therefore sample each (level, point)
+once for all 256 channels and apply the per-(group, level, point) softmax
+weights afterwards — an 8x reduction in gather volume vs. the CUDA op's layout.
+
+Bilinear convention matches mmcv's im2col: x = u * W - 0.5, y = v * H - 0.5,
+zero padding outside the feature map (corner contributions are masked per
+corner, so partially-outside samples keep their in-bounds corners).
+
+Two implementations:
+  * `msda_xla`    — pure jnp gather formulation (autodiff-able, the oracle).
+  * `msda_pallas` — fused Pallas kernel (ops/msda_pallas.py), used on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _corner_data(loc: jax.Array, h: int, w: int):
+    """Compute the 4 bilinear corner flat-indices and weights for one level.
+
+    loc: (..., 2) normalized (u, v) in [0, 1].
+    Returns idx (..., 4) int32 flat indices into h*w (clamped), and
+    weights (..., 4) f32 with out-of-bounds corners zeroed.
+    """
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    ws = []
+    idxs = []
+    for (cy, cx, wgt) in (
+        (y0, x0, (1 - dy) * (1 - dx)),
+        (y0, x0 + 1, (1 - dy) * dx),
+        (y0 + 1, x0, dy * (1 - dx)),
+        (y0 + 1, x0 + 1, dy * dx),
+    ):
+        valid = (cy >= 0) & (cy < h) & (cx >= 0) & (cx < w)
+        cyc = jnp.clip(cy, 0, h - 1).astype(jnp.int32)
+        cxc = jnp.clip(cx, 0, w - 1).astype(jnp.int32)
+        idxs.append(cyc * w + cxc)
+        ws.append(jnp.where(valid, wgt, 0.0))
+    return jnp.stack(idxs, axis=-1), jnp.stack(ws, axis=-1)
+
+
+def msda_xla(value: jax.Array,
+             spatial_shapes: Sequence[Tuple[int, int]],
+             loc: jax.Array,
+             weights: jax.Array) -> jax.Array:
+    """Deformable multi-scale sampling, pure XLA.
+
+    Args:
+      value:   (B, L_total, C) flattened multi-level features
+               (L_total = sum(H_l * W_l); levels concatenated in order).
+      spatial_shapes: static [(H_l, W_l)] per level.
+      loc:     (B, Q, P, 2) normalized sampling locations, shared over
+               groups & levels.
+      weights: (B, Q, G, L, P) per-(group, level, point) attention weights.
+
+    Returns: (B, Q, C) aggregated features.
+    """
+    b, q, p, _ = loc.shape
+    _, _, g, n_lvl, _ = weights.shape
+    c = value.shape[-1]
+    cg = c // g
+    out = jnp.zeros((b, q, g, cg), dtype=value.dtype)
+    offset = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        idx, bw = _corner_data(loc, h, w)                    # (B,Q,P,4) each
+        idx = idx + offset
+        # fold the bilinear corner weight into the attention weight, then do a
+        # single weighted gather-reduce per corner to avoid materializing
+        # (B, Q, P, 4, C).
+        w_att = weights[:, :, :, lvl, :]                     # (B,Q,G,P)
+        for corner in range(4):
+            rows = jnp.take_along_axis(
+                value, idx[..., corner].reshape(b, q * p, 1), axis=1)
+            rows = rows.reshape(b, q, p, g, cg)
+            wc = w_att * bw[..., corner][:, :, None, :].astype(w_att.dtype)
+            out = out + jnp.einsum('bqpgc,bqgp->bqgc', rows, wc,
+                                   preferred_element_type=out.dtype)
+        offset += h * w
+    return out.reshape(b, q, c)
+
+
+def msda(value: jax.Array,
+         spatial_shapes: Sequence[Tuple[int, int]],
+         loc: jax.Array,
+         weights: jax.Array,
+         use_pallas: bool = True) -> jax.Array:
+    """Dispatch to the fused Pallas kernel on TPU, else the XLA formulation."""
+    if use_pallas:
+        try:
+            from .msda_pallas import msda_pallas
+            return msda_pallas(value, spatial_shapes, loc, weights)
+        except Exception:
+            pass
+    return msda_xla(value, spatial_shapes, loc, weights)

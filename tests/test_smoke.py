@@ -1,0 +1,76 @@
+"""End-to-end smoke tests: init + forward on a tiny config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from far3d_tpu import Far3D, decode_detections, init_state, tiny_test_config
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = tiny_test_config()
+    model = Far3D(cfg)
+    b, n = 1, cfg.data.num_cams
+    h, w = cfg.data.input_hw
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(rng, (b, n, h, w, 3), jnp.float32)
+    # plausible pinhole intrinsics + identity-ish extrinsics
+    intr = jnp.tile(jnp.eye(4)[None, None], (b, n, 1, 1))
+    intr = intr.at[:, :, 0, 0].set(float(w) / 2).at[:, :, 1, 1].set(float(w) / 2)
+    intr = intr.at[:, :, 0, 2].set(w / 2).at[:, :, 1, 2].set(h / 2)
+    extr = jnp.tile(jnp.eye(4)[None, None], (b, n, 1, 1))
+    lidar2img = jnp.einsum('bnij,bnjk->bnik', intr, extr)
+    state = init_state(b, cfg.head)
+    data = dict(
+        images=imgs, lidar2img=lidar2img, intrinsics=intr, extrinsics=extr,
+        state=state, prev_exists=jnp.zeros((b,)), timestamp=jnp.zeros((b,)),
+        ego_pose=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+        ego_pose_inv=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), **data)
+    apply = jax.jit(model.apply)
+    return cfg, model, variables, data, apply
+
+
+def test_forward_shapes(setup):
+    cfg, model, variables, data, apply = setup
+    out = apply(variables, **data)
+    nq = cfg.head.num_query
+    k2d = cfg.roi2d.num_proposals_2d * cfg.head.multi_depth.topk
+    total = nq + k2d + cfg.head.num_propagated
+    assert out['all_cls_scores'].shape == (
+        cfg.decoder.num_layers, 1, total, cfg.num_classes)
+    assert out['all_bbox_preds'].shape == (
+        cfg.decoder.num_layers, 1, total, cfg.head.code_size)
+    assert np.isfinite(np.asarray(out['all_cls_scores'])).all()
+    assert np.isfinite(np.asarray(out['all_bbox_preds'])).all()
+
+
+def test_temporal_state_carry(setup):
+    cfg, model, variables, data, apply = setup
+    out = apply(variables, **data)
+    st = out['state']
+    assert st.embedding.shape == (1, cfg.head.memory_len, cfg.head.embed_dims)
+    # second frame with memory carried and prev_exists=1
+    data2 = dict(data)
+    data2['state'] = st
+    data2['prev_exists'] = jnp.ones((1,))
+    data2['timestamp'] = jnp.ones((1,))
+    out2 = apply(variables, **data2)
+    assert np.isfinite(np.asarray(out2['all_cls_scores'])).all()
+    # memory should now be populated (non-zero embeddings)
+    assert np.abs(np.asarray(out2['state'].embedding)).max() > 0
+
+
+def test_decode(setup):
+    cfg, model, variables, data, apply = setup
+    out = apply(variables, **data)
+    dets = decode_detections(out['all_cls_scores'][-1],
+                             out['all_bbox_preds'][-1],
+                             out['query_valid'], cfg)
+    k = cfg.head.max_decode_num
+    assert dets['boxes'].shape == (1, k, 9)
+    assert dets['scores'].shape == (1, k)
+    assert dets['labels'].shape == (1, k)
