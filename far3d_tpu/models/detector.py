@@ -23,8 +23,9 @@ from .vovnet import FPN, VoVNet
 
 
 def level_shapes(cfg: Far3DConfig) -> Tuple[Tuple[int, int], ...]:
+    # successive SAME-padded stride-2 stages => ceil division per level
     h, w = cfg.data.input_hw
-    return tuple((h // s, w // s) for s in cfg.strides)
+    return tuple((-(-h // s), -(-w // s)) for s in cfg.strides)
 
 
 class Far3D(nn.Module):

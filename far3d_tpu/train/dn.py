@@ -83,7 +83,8 @@ def build_dn_queries(key: jax.Array,
     cost = jnp.nan_to_num(cost, nan=100.0, posinf=100.0, neginf=-100.0)
     cost = jnp.where(slot_mask[..., None], cost, BIG_COST)
     cost = jnp.where(mask[:, None, None, :], cost, BIG_COST * 2)
-    row_for_col = hungarian_match(cost)                  # (B, grp, gmax)
+    col_ok = jnp.broadcast_to(mask[:, None], cost.shape[:2] + (gmax,))
+    row_for_col = hungarian_match(cost, col_ok)          # (B, grp, gmax)
 
     nslots = nsmp * gmax
     cls_t = jnp.full((b, ngroups, nslots), cfg.num_classes, jnp.int32)

@@ -55,7 +55,7 @@ def match_targets(cls_scores: jax.Array,      # (B, Q, ncls) logits
     cost = jax.vmap(per_sample)(cls_scores.astype(jnp.float32),
                                 bbox_preds.astype(jnp.float32), query_valid,
                                 gt_norm, gt_labels, gt_mask)
-    row_for_col = hungarian_match(cost)                    # (B, G)
+    row_for_col = hungarian_match(cost, gt_mask)           # (B, G)
 
     labels = jnp.full((b, q), cfg.num_classes, jnp.int32)
     bbox_t = jnp.zeros((b, q, gt_boxes.shape[-1]), jnp.float32)

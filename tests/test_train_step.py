@@ -1,0 +1,56 @@
+"""Training-step tests: loss finiteness, param updates, DP-mesh sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from far3d_tpu import tiny_test_config
+from far3d_tpu.train.step import create_train_state, make_train_step
+from far3d_tpu.utils.synthetic import synthetic_batch
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = tiny_test_config()
+    state, tstate = create_train_state(cfg, jax.random.PRNGKey(0), batch=1)
+    batch = synthetic_batch(cfg, batch=1)
+    step = jax.jit(make_train_step(cfg, use_gt_depth=True))
+    return cfg, state, tstate, batch, step
+
+
+def test_train_step_runs(setup):
+    cfg, state, tstate, batch, step = setup
+    new_state, new_tstate, metrics = step(state, tstate, batch,
+                                          jax.random.PRNGKey(42))
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)), f'{k} not finite: {v}'
+    assert np.asarray(metrics['total_loss']) > 0
+    assert int(new_state.step) == 1
+    # params actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params,
+        new_state.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    # frozen pseudo reference points must NOT move (farhead.py:438)
+    old = state.params['pts_head']['pseudo_reference_points']
+    new = new_state.params['pts_head']['pseudo_reference_points']
+    np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+def test_train_step_dp_mesh(setup):
+    """Data-parallel over the virtual 8-device CPU mesh."""
+    cfg, _, _, _, _ = setup
+    from far3d_tpu.parallel.mesh import make_mesh, shard_batch
+    ndev = len(jax.devices())
+    assert ndev == 8, f'expected 8 virtual devices, got {ndev}'
+    state, tstate = create_train_state(cfg, jax.random.PRNGKey(0), batch=ndev)
+    batch = synthetic_batch(cfg, batch=ndev)
+    mesh = make_mesh()
+    with jax.set_mesh(mesh):
+        batch = shard_batch(mesh, batch)
+        tstate = shard_batch(mesh, tstate)
+        step = jax.jit(make_train_step(cfg, use_gt_depth=True))
+        new_state, new_tstate, metrics = step(state, tstate, batch,
+                                              jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(metrics['total_loss']))
