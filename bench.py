@@ -1,0 +1,77 @@
+"""Benchmark: 7-camera 960x640 streaming inference frames/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference runs 6.4 img/s = 0.914 seven-camera frames/s on GPU
+(projects/configs/far3d.py:287, measured by tools/analysis_tools/benchmark.py
+with 5 warmup + timed loop). vs_baseline = our frames/s / 0.914.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 6.4 / 7.0  # reference: 6.4 img/s over 7-camera frames
+
+
+def main():
+    from far3d_tpu import Far3D, Far3DConfig, decode_detections, init_state
+    from far3d_tpu.utils.synthetic import synthetic_batch
+
+    cfg = Far3DConfig()
+    model = Far3D(cfg)
+    b = 1
+    data = synthetic_batch(cfg, batch=b, as_dict=True)
+    dtype = jnp.bfloat16
+    kwargs = dict(
+        images=jnp.asarray(data['images'], dtype),
+        lidar2img=jnp.asarray(data['lidar2img']),
+        intrinsics=jnp.asarray(data['intrinsics']),
+        extrinsics=jnp.asarray(data['extrinsics']),
+        prev_exists=jnp.zeros((b,)),
+        timestamp=jnp.zeros((b,)),
+        ego_pose=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+        ego_pose_inv=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+    )
+    tstate = init_state(b, cfg.head)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), state=tstate,
+                                    **kwargs)
+
+    @jax.jit
+    def step(variables, tstate, images):
+        kw = dict(kwargs)
+        kw['images'] = images
+        out = model.apply(variables, state=tstate, **kw)
+        dets = decode_detections(out['all_cls_scores'][-1],
+                                 out['all_bbox_preds'][-1],
+                                 out['query_valid'], cfg)
+        return dets, out['state']
+
+    images = kwargs['images']
+    # warmup (compile)
+    dets, tstate = step(variables, tstate, images)
+    jax.block_until_ready(dets['scores'])
+    for _ in range(4):
+        dets, tstate = step(variables, tstate, images)
+    jax.block_until_ready(dets['scores'])
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        dets, tstate = step(variables, tstate, images)
+    jax.block_until_ready(dets['scores'])
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        'metric': 'far3d_7cam_960x640_stream_fps',
+        'value': round(fps, 4),
+        'unit': 'frames/s/chip',
+        'vs_baseline': round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -87,21 +87,20 @@ def build_dn_queries(key: jax.Array,
     row_for_col = hungarian_match(cost, col_ok)          # (B, grp, gmax)
 
     nslots = nsmp * gmax
-    cls_t = jnp.full((b, ngroups, nslots), cfg.num_classes, jnp.int32)
-    box_t = jnp.zeros((b, ngroups, nslots, gt_boxes.shape[-1]))
+    # scatter matched GT labels/boxes onto the matched slots; invalid columns
+    # are routed to a dummy slot (index nslots) that is dropped afterwards
+    cls_t = jnp.full((b, ngroups, nslots + 1), cfg.num_classes, jnp.int32)
+    box_t = jnp.zeros((b, ngroups, nslots + 1, gt_boxes.shape[-1]))
     col_valid = jnp.broadcast_to(mask[:, None], (b, ngroups, gmax))
-    # scatter matched GT labels/boxes onto the matched slots
     bidx = jnp.arange(b)[:, None, None]
     gidx = jnp.arange(ngroups)[None, :, None]
-    safe_rows = jnp.where(col_valid, row_for_col, 0)
-    cls_scatter = jnp.where(col_valid,
-                            jnp.broadcast_to(labels[:, None], (b, ngroups, gmax)),
-                            cfg.num_classes)
-    cls_t = cls_t.at[bidx, gidx, safe_rows].set(
-        jnp.where(col_valid, cls_scatter, cls_t[bidx, gidx, safe_rows]))
+    safe_rows = jnp.where(col_valid, row_for_col, nslots)
+    cls_scatter = jnp.broadcast_to(labels[:, None], (b, ngroups, gmax))
+    cls_t = cls_t.at[bidx, gidx, safe_rows].set(cls_scatter)
     box_bc = jnp.broadcast_to(boxes[:, None], (b, ngroups, gmax, boxes.shape[-1]))
-    box_t = box_t.at[bidx, gidx, safe_rows].set(
-        jnp.where(col_valid[..., None], box_bc, box_t[bidx, gidx, safe_rows]))
+    box_t = box_t.at[bidx, gidx, safe_rows].set(box_bc)
+    cls_t = cls_t[:, :, :nslots]
+    box_t = box_t[:, :, :nslots]
     bbox_mask = cls_t != cfg.num_classes
 
     # normalize + clamp reference points (farhead.py:379-380)

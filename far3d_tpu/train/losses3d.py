@@ -57,15 +57,14 @@ def match_targets(cls_scores: jax.Array,      # (B, Q, ncls) logits
                                 gt_norm, gt_labels, gt_mask)
     row_for_col = hungarian_match(cost, gt_mask)           # (B, G)
 
-    labels = jnp.full((b, q), cfg.num_classes, jnp.int32)
-    bbox_t = jnp.zeros((b, q, gt_boxes.shape[-1]), jnp.float32)
+    # scatter matched GT labels/boxes; invalid GT columns go to a dummy query
+    # slot (index q) that is dropped, so they can't clobber real matches
+    labels = jnp.full((b, q + 1), cfg.num_classes, jnp.int32)
+    bbox_t = jnp.zeros((b, q + 1, gt_boxes.shape[-1]), jnp.float32)
     bidx = jnp.arange(b)[:, None]
-    safe_rows = jnp.where(gt_mask, row_for_col, 0)
-    lbl = jnp.where(gt_mask, gt_labels, cfg.num_classes)
-    labels = labels.at[bidx, safe_rows].set(
-        jnp.where(gt_mask, lbl, labels[bidx, safe_rows]))
-    bbox_t = bbox_t.at[bidx, safe_rows].set(
-        jnp.where(gt_mask[..., None], gt_boxes, bbox_t[bidx, safe_rows]))
+    safe_rows = jnp.where(gt_mask, row_for_col, q)
+    labels = labels.at[bidx, safe_rows].set(gt_labels)[:, :q]
+    bbox_t = bbox_t.at[bidx, safe_rows].set(gt_boxes)[:, :q]
     bbox_mask = labels != cfg.num_classes
     label_weights = query_valid.astype(jnp.float32)
     return labels, bbox_t, bbox_mask, label_weights
