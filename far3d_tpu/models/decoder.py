@@ -130,7 +130,8 @@ class SelfAttention(nn.Module):
         out = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.embed_dims,
             out_features=self.embed_dims, dropout_rate=self.attn_dropout,
-            dtype=query.dtype, name='mha')(q, k, v, mask=mask,
+            dtype=query.dtype, name='mha')(q, inputs_k=k, inputs_v=v,
+                                           mask=mask,
                                            deterministic=deterministic)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return query + out

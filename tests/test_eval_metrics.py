@@ -1,0 +1,67 @@
+"""AV2 metric implementation sanity tests."""
+
+import numpy as np
+
+from far3d_tpu.eval.av2_metrics import (DetectionConfig, evaluate_detections,
+                                        iou_3d_axis_aligned, wrap_angles)
+
+
+def _frame(log, ts, boxes, labels, scores=None, pts=None):
+    d = dict(log_id=log, timestamp_ns=ts, boxes=np.asarray(boxes, np.float64),
+             labels=np.asarray(labels))
+    if scores is not None:
+        d['scores'] = np.asarray(scores)
+    if pts is not None:
+        d['num_interior_pts'] = np.asarray(pts)
+    return d
+
+
+def test_perfect_detections_ap1():
+    boxes = np.array([[10, 0, 1, 4, 2, 1.5, 0.3],
+                      [-20, 5, 1, 4, 2, 1.5, -1.0]])
+    dets = [_frame('log0', 0, boxes, [15, 15], scores=[0.9, 0.8])]
+    anns = [_frame('log0', 0, boxes, [15, 15], pts=[10, 10])]
+    summary, means = evaluate_detections(dets, anns)
+    cat = 'REGULAR_VEHICLE'
+    assert abs(summary[cat]['AP'] - 1.0) < 1e-6
+    assert summary[cat]['ATE'] < 1e-6
+    assert summary[cat]['ASE'] < 1e-6
+    assert summary[cat]['AOE'] < 1e-6
+    assert abs(summary[cat]['CDS'] - 1.0) < 1e-6
+    assert abs(means['mAP'] - 1.0) < 1e-6
+
+
+def test_missed_and_false_positives():
+    gt = np.array([[10, 0, 1, 4, 2, 1.5, 0.0]])
+    # one 1.5m-off detection (TP at 2m/4m, FP at 0.5m/1m) + one far FP
+    det = np.array([[11.5, 0, 1, 4, 2, 1.5, 0.0],
+                    [80, 80, 1, 4, 2, 1.5, 0.0]])
+    dets = [_frame('l', 0, det, [15, 15], scores=[0.9, 0.8])]
+    anns = [_frame('l', 0, gt, [15], pts=[5])]
+    summary, _ = evaluate_detections(dets, anns)
+    ap = summary['REGULAR_VEHICLE']['AP']
+    assert 0 < ap < 1
+    # translation error ~1.5 for the single TP at the 2m threshold
+    assert abs(summary['REGULAR_VEHICLE']['ATE'] - 1.5) < 1e-6
+
+
+def test_range_gate():
+    gt = np.array([[200, 0, 1, 4, 2, 1.5, 0.0]])   # out of 150m range
+    dets = [_frame('l', 0, gt, [15], scores=[0.9])]
+    anns = [_frame('l', 0, gt, [15], pts=[5])]
+    summary, means = evaluate_detections(dets, anns)
+    assert 'REGULAR_VEHICLE' not in summary        # zero evaluated gts
+
+
+def test_wrap_angles():
+    np.testing.assert_allclose(wrap_angles(np.array([0.3])), [0.3])
+    np.testing.assert_allclose(wrap_angles(np.array([-0.3])), [0.3])
+    np.testing.assert_allclose(wrap_angles(np.array([np.pi + 0.1])),
+                               [np.pi - 0.1], atol=1e-9)
+
+
+def test_iou_axis_aligned():
+    a = np.array([[2.0, 2, 2]])
+    np.testing.assert_allclose(iou_3d_axis_aligned(a, a), [1.0])
+    b = np.array([[1.0, 2, 2]])
+    np.testing.assert_allclose(iou_3d_axis_aligned(a, b), [0.5])
