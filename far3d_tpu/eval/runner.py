@@ -1,0 +1,120 @@
+"""Streaming evaluation runner (reference: core/apis/test.py:45-160 +
+argoverse2_dataset.evaluate/format_results).
+
+Each rank streams its contiguous, temporally-ordered shard through the jitted
+infer step, carrying the temporal memory; scene changes arrive as
+prev_exists=0 from the dataset. Results are written as per-rank files
+(replacing collect_results_cpu's pkl+barrier dance); rank 0 concatenates in
+rank order and computes the AV2 metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Far3DConfig
+from ..data.loader import EvalLoader
+from ..models.farhead import init_state
+from ..train.step import make_infer_step
+from .av2_metrics import DetectionConfig, evaluate_detections, format_summary
+
+
+def run_inference(cfg: Far3DConfig, variables, loader: EvalLoader,
+                  score_keep: int = 300) -> List[Dict]:
+    """Stream one rank's shard; returns per-frame detection dicts."""
+    infer = jax.jit(make_infer_step(cfg))
+    tstate = init_state(1, cfg.head)
+    results = []
+    for frame in loader:
+        batch = {k: jnp.asarray(v)[None] for k, v in frame.items()
+                 if k in ('images', 'lidar2img', 'intrinsics', 'extrinsics',
+                          'timestamp', 'prev_exists', 'ego_pose',
+                          'ego_pose_inv')}
+        dets, tstate = infer(variables, tstate, batch)
+        boxes = np.asarray(dets['boxes'][0])
+        scores = np.asarray(dets['scores'][0])
+        labels = np.asarray(dets['labels'][0])
+        valid = np.asarray(dets['valid'][0])
+        boxes, scores, labels = boxes[valid], scores[valid], labels[valid]
+        # bottom z -> gravity center z for AV2 rows
+        boxes = boxes.copy()
+        boxes[:, 2] += boxes[:, 5] / 2
+        results.append(dict(
+            index=frame['index'],
+            log_id=frame['scene_token'],
+            timestamp_ns=int(frame['lidar_timestamp']),
+            boxes=boxes[:, :7], scores=scores, labels=labels))
+    # drop padded repeats at the shard tail
+    if loader.pad:
+        results = results[:-loader.pad]
+    return results
+
+
+def collect_and_evaluate(cfg: Far3DConfig, dataset, results_dir: str,
+                         rank: int, world_size: int,
+                         results: List[Dict],
+                         eval_range_m: Optional[float] = None):
+    """Write per-rank shard files; rank 0 concatenates in rank order
+    (core/apis/test.py:116-160) and evaluates."""
+    os.makedirs(results_dir, exist_ok=True)
+    with open(f'{results_dir}/part_{rank}.pkl', 'wb') as f:
+        pickle.dump(results, f)
+    if rank != 0:
+        return None
+    # wait for all parts (simple shared-FS sync)
+    import time
+    parts = []
+    for r in range(world_size):
+        path = f'{results_dir}/part_{r}.pkl'
+        for _ in range(600):
+            if os.path.exists(path):
+                break
+            time.sleep(1)
+        with open(path, 'rb') as f:
+            parts.extend(pickle.load(f))
+
+    annotations = []
+    for i in range(len(dataset)):
+        rec = dataset.get_frame(i)
+        if 'gt_boxes_3d' not in rec:
+            continue
+        annotations.append(dict(
+            log_id=rec['scene_token'],
+            timestamp_ns=int(rec['lidar_timestamp']),
+            boxes=rec['gt_boxes_3d'][:, :7],
+            labels=rec['gt_labels_3d'],
+            num_interior_pts=np.ones(len(rec['gt_labels_3d']))))
+    dc = DetectionConfig() if eval_range_m is None else DetectionConfig(
+        eval_range_m=(0.0, eval_range_m))
+    summary, means = evaluate_detections(parts, annotations, dc)
+    print(format_summary(summary, means))
+    return summary, means
+
+
+def format_av2_submission(results: List[Dict], class_names) -> 'object':
+    """Detections -> AV2 feather submission dataframe
+    (argoverse2_dataset.py:267-331 format_results)."""
+    import pandas as pd
+    from ..geometry import yaw_to_quat_wxyz
+    rows = []
+    for det in results:
+        b = det['boxes']
+        for i in range(len(b)):
+            yaw = float(b[i, 6])
+            half = yaw / 2
+            rows.append(dict(
+                log_id=det['log_id'], timestamp_ns=det['timestamp_ns'],
+                tx_m=float(b[i, 0]), ty_m=float(b[i, 1]), tz_m=float(b[i, 2]),
+                length_m=float(b[i, 3]), width_m=float(b[i, 4]),
+                height_m=float(b[i, 5]),
+                qw=float(np.cos(half)), qx=0.0, qy=0.0,
+                qz=float(np.sin(half)),
+                score=float(det['scores'][i]),
+                category=class_names[int(det['labels'][i])]))
+    return pd.DataFrame(rows)
