@@ -1,0 +1,142 @@
+"""PETR/StreamPETR dense-attention stack (reference:
+models/utils/petr_transformer.py + the PE frustum encoder in
+models/utils/positional_encoding.py:82-200).
+
+This is the legacy StreamPETR path that Far3D's shipped config registers but
+does not use (SURVEY.md §2.1); provided for API parity and for running
+StreamPETR-style dense-global-attention models on TPU. The reference's
+flash-attn CUDA kernel (models/utils/attention.py) maps to
+`jax.nn.dot_product_attention` — XLA emits a fused attention for these sizes,
+and bf16 on the MXU plays the role fp16 flash-attention plays on GPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geometry import inverse_sigmoid
+from .layers import FFN
+
+
+class FlashMHA(nn.Module):
+    """Dense exact attention (reference FlashMHA, attention.py:94-137).
+    On TPU this is a plain fused dot-product attention in bf16."""
+    embed_dims: int = 256
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic: bool = True):
+        h = self.num_heads
+        d = self.embed_dims // h
+        qp = nn.DenseGeneral((h, d), dtype=q.dtype, name='q_proj')(q)
+        kp = nn.DenseGeneral((h, d), dtype=q.dtype, name='k_proj')(k)
+        vp = nn.DenseGeneral((h, d), dtype=q.dtype, name='v_proj')(v)
+        out = jax.nn.dot_product_attention(qp, kp, vp)
+        return nn.DenseGeneral(self.embed_dims, axis=(-2, -1), dtype=q.dtype,
+                               name='out_proj')(out)
+
+
+class PETRTemporalDecoderLayer(nn.Module):
+    """self_attn (queries + propagated memory) -> norm -> dense cross_attn
+    over all image tokens -> norm -> ffn -> norm
+    (petr_transformer.py:501-741)."""
+    embed_dims: int = 256
+    num_heads: int = 8
+    ffn_dims: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, query, query_pos, feats, feats_pos, temp_memory,
+                 temp_pos, attn_mask=None, deterministic: bool = True):
+        # self attention with temporal memory as extra keys
+        k = jnp.concatenate([query, temp_memory], axis=1) \
+            if temp_memory is not None else query
+        kp = jnp.concatenate([query_pos, temp_pos], axis=1) \
+            if temp_memory is not None else query_pos
+        mask = None
+        if attn_mask is not None:
+            m = ~attn_mask
+            mask = m[None, None] if m.ndim == 2 else m[:, None]
+        sa = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.embed_dims,
+            dtype=query.dtype, name='self_attn')(
+            query + query_pos, inputs_k=k + kp, inputs_v=k, mask=mask,
+            deterministic=deterministic)
+        query = nn.LayerNorm(dtype=query.dtype, name='norm0')(
+            query + nn.Dropout(self.dropout, deterministic=deterministic)(sa))
+        # dense global cross attention: K/V = all image tokens + 3D PE
+        ca = FlashMHA(self.embed_dims, self.num_heads, name='cross_attn')(
+            query + query_pos, feats + feats_pos, feats, deterministic)
+        query = nn.LayerNorm(dtype=query.dtype, name='norm1')(
+            query + nn.Dropout(self.dropout, deterministic=deterministic)(ca))
+        query = FFN(self.embed_dims, self.ffn_dims, self.dropout, name='ffn')(
+            query, deterministic)
+        return nn.LayerNorm(dtype=query.dtype, name='norm2')(query)
+
+
+class PETRTemporalTransformer(nn.Module):
+    """Decoder stack returning all intermediates
+    (petr_transformer.py:411-498)."""
+    embed_dims: int = 256
+    num_layers: int = 6
+    num_heads: int = 8
+    ffn_dims: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, query, query_pos, feats, feats_pos, temp_memory=None,
+                 temp_pos=None, attn_mask=None, deterministic: bool = True):
+        outs = []
+        for i in range(self.num_layers):
+            query = PETRTemporalDecoderLayer(
+                self.embed_dims, self.num_heads, self.ffn_dims, self.dropout,
+                name=f'layer{i}')(query, query_pos, feats, feats_pos,
+                                  temp_memory, temp_pos, attn_mask,
+                                  deterministic)
+            outs.append(query)
+        return jnp.stack(outs)
+
+
+class FrustumPE(nn.Module):
+    """3D frustum position embedding (PE, positional_encoding.py:82-200):
+    per-pixel rays sampled at LID depths, transformed to ego space, normalized
+    by the position range, MLP -> per-token embedding."""
+    embed_dims: int = 256
+    depth_num: int = 64
+    depth_start: float = 1.0
+    position_range: Tuple[float, ...] = (-152.4, -152.4, -5., 152.4, 152.4, 5.)
+
+    @nn.compact
+    def __call__(self, feat_hw: Tuple[int, int], pad_hw: Tuple[int, int],
+                 img2lidar: jax.Array, dtype=jnp.float32) -> jax.Array:
+        """img2lidar: (B, N, 4, 4). Returns (B*N, H*W, C) position embedding."""
+        h, w = feat_hw
+        pad_h, pad_w = pad_hw
+        b, n = img2lidar.shape[:2]
+        # pixel centers in padded-image coords
+        us = (jnp.arange(w, dtype=jnp.float32) + 0.5) * (pad_w / w)
+        vs = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (pad_h / h)
+        u, v = jnp.meshgrid(us, vs, indexing='xy')
+        # LID depth bins (positional_encoding.py LID=True)
+        idx = jnp.arange(self.depth_num, dtype=jnp.float32)
+        bin_size = 2 * (self.position_range[3] - self.depth_start) / (
+            self.depth_num * (1 + self.depth_num))
+        d = self.depth_start + bin_size * idx * (idx + 1) / 2      # (D,)
+        uvd = jnp.stack([
+            jnp.broadcast_to(u[..., None], (h, w, self.depth_num)) * d,
+            jnp.broadcast_to(v[..., None], (h, w, self.depth_num)) * d,
+            jnp.broadcast_to(d, (h, w, self.depth_num)),
+            jnp.ones((h, w, self.depth_num))], axis=-1)            # (H,W,D,4)
+        pts = jnp.einsum('bnij,hwdj->bnhwdi', img2lidar.astype(jnp.float32),
+                         uvd)[..., :3]
+        lo = jnp.asarray(self.position_range[:3])
+        hi = jnp.asarray(self.position_range[3:6])
+        pts = (pts - lo) / (hi - lo)
+        pts = pts.reshape(b * n, h * w, self.depth_num * 3).astype(dtype)
+        x = nn.Dense(self.embed_dims * 4, dtype=dtype, name='pe_fc1')(pts)
+        x = nn.relu(x)
+        return nn.Dense(self.embed_dims, dtype=dtype, name='pe_fc2')(x)
