@@ -62,3 +62,49 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
          'frozen': optax.set_to_zero()},
         _label_params(params))
     return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+
+
+def make_layerwise_decay_labels(params: Any, num_layers: int,
+                                prefix: str = 'backbone') -> Any:
+    """Layer-wise LR decay labels for ViT-style backbones (reference:
+    models/utils/layer_decay_optimizer_constructor.py:81-146; unused by the
+    shipped config). Returns per-param depth labels 'layer_{i}' usable with
+    optax.multi_transform."""
+    def label_path(path, _):
+        keys = [str(getattr(p, 'key', p)) for p in path]
+        if keys[0] != prefix:
+            return f'layer_{num_layers}'
+        for k in keys:
+            if k.startswith('layer') and k[5:].isdigit():
+                return f'layer_{min(int(k[5:]), num_layers - 1)}'
+            if k.startswith('stage') and '_block' in k:
+                return f'layer_{min(int(k[5]) - 2, num_layers - 1)}'
+        return 'layer_0'
+    return jax.tree_util.tree_map_with_path(label_path, params)
+
+
+class DynamicLossScale:
+    """fp16 dynamic loss scaling (reference: WarmupFp16OptimizerHook,
+    models/utils/warmup_fp16_optimizer.py:18-134). Not needed for the default
+    bf16 recipe; provided for fp16 experiments.
+
+    Usage: scale loss by `.scale` before grad; call `update(grads_finite)`
+    after each step; skip the optimizer update when grads are non-finite."""
+
+    def __init__(self, init_scale: float = 2.0 ** 15, growth_interval: int =
+                 2000, factor: float = 2.0):
+        self.scale = init_scale
+        self.growth_interval = growth_interval
+        self.factor = factor
+        self._good_steps = 0
+
+    def update(self, grads_finite: bool):
+        if grads_finite:
+            self._good_steps += 1
+            if self._good_steps >= self.growth_interval:
+                self.scale *= self.factor
+                self._good_steps = 0
+        else:
+            self.scale = max(self.scale / self.factor, 1.0)
+            self._good_steps = 0
+        return grads_finite

@@ -68,3 +68,32 @@ def test_msda_gradients_finite():
     assert np.isfinite(np.asarray(gl)).all()
     assert np.isfinite(np.asarray(gw)).all()
     assert np.abs(np.asarray(gv)).max() > 0
+
+
+def test_msda_pallas_interpret_matches_oracle():
+    """Pallas kernel (interpret mode on CPU) vs the XLA oracle."""
+    import jax
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    from far3d_tpu.ops import msda_pallas as mp
+
+    rng = np.random.RandomState(3)
+    shapes = [(6, 8), (3, 4)]
+    lt = sum(h * w for h, w in shapes)
+    b, q, p, g, c = 2, 4, 3, 2, 8
+    value = jnp.asarray(rng.randn(b, lt, c).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (b, q, p, 2)).astype(np.float32))
+    weights = jnp.asarray(rng.rand(b, q, g, len(shapes), p).astype(np.float32))
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k['interpret'] = True
+        return orig_call(*a, **k)
+
+    mp._build_level_call.cache_clear()
+    with mock.patch.object(mp.pl, 'pallas_call', interp_call):
+        got = np.asarray(mp.msda_pallas(value, tuple(shapes), loc, weights))
+    mp._build_level_call.cache_clear()
+    want = np.asarray(msda_xla(value, shapes, loc, weights))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
