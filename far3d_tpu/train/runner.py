@@ -40,7 +40,11 @@ def run_training(cfg: Far3DConfig,
     """loader: iterable of TrainBatch (already rank-local)."""
     tc = cfg.train
     max_iters = max_iters or tc.total_iters
-    mesh = make_mesh()
+    # data-parallel mesh over as many devices as the batch divides into
+    n_dev = len(jax.devices())
+    use = max(d for d in range(1, n_dev + 1) if batch_size % d == 0
+              and n_dev % d == 0)
+    mesh = make_mesh(jax.devices()[:use])
     state, tstate = create_train_state(
         cfg, jax.random.PRNGKey(tc.seed), batch=batch_size)
     if load_from:
