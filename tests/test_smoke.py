@@ -74,3 +74,24 @@ def test_decode(setup):
     assert dets['boxes'].shape == (1, k, 9)
     assert dets['scores'].shape == (1, k)
     assert dets['labels'].shape == (1, k)
+
+
+def test_scene_reset_equals_fresh_state(setup):
+    """prev_exists=0 must fully neutralize whatever is in the carried state
+    (memory_refresh semantics, misc.py:7-11): outputs match a zero state."""
+    from far3d_tpu import init_state
+    cfg, model, variables, data, apply = setup
+    out = apply(variables, **data)
+    dirty = out['state']
+    d_fresh = dict(data)
+    d_fresh['prev_exists'] = jnp.zeros((1,))
+    d_dirty = dict(d_fresh)
+    d_dirty['state'] = dirty
+    o1 = apply(variables, **d_fresh)
+    o2 = apply(variables, **d_dirty)
+    np.testing.assert_allclose(np.asarray(o1['all_cls_scores']),
+                               np.asarray(o2['all_cls_scores']),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o1['all_bbox_preds']),
+                               np.asarray(o2['all_bbox_preds']),
+                               rtol=1e-3, atol=1e-3)
