@@ -140,3 +140,25 @@ class FrustumPE(nn.Module):
         x = nn.Dense(self.embed_dims * 4, dtype=dtype, name='pe_fc1')(pts)
         x = nn.relu(x)
         return nn.Dense(self.embed_dims, dtype=dtype, name='pe_fc2')(x)
+
+
+def sine_positional_encoding_2d(h: int, w: int, num_feats: int = 128,
+                                temperature: float = 10000.0,
+                                normalize: bool = True) -> jax.Array:
+    """SinePositionalEncoding3D's per-image 2D part
+    (positional_encoding.py:216-308) for dense PETR feature maps:
+    (H, W, 2*num_feats)."""
+    y = jnp.cumsum(jnp.ones((h, w)), axis=0)
+    x = jnp.cumsum(jnp.ones((h, w)), axis=1)
+    if normalize:
+        eps, scale = 1e-6, 2 * jnp.pi
+        y = y / (y[-1:, :] + eps) * scale
+        x = x / (x[:, -1:] + eps) * scale
+    dim_t = temperature ** (2 * (jnp.arange(num_feats) // 2) / num_feats)
+    px = x[..., None] / dim_t
+    py = y[..., None] / dim_t
+    px = jnp.stack([jnp.sin(px[..., 0::2]), jnp.cos(px[..., 1::2])],
+                   axis=-1).reshape(h, w, num_feats)
+    py = jnp.stack([jnp.sin(py[..., 0::2]), jnp.cos(py[..., 1::2])],
+                   axis=-1).reshape(h, w, num_feats)
+    return jnp.concatenate([py, px], axis=-1)

@@ -160,3 +160,51 @@ def l1_bbox_cost(bbox_pred: jax.Array, gt_norm: jax.Array,
     """BBox3DL1Cost (match_cost.py:5-23): cdist-L1 on the first 8 code dims."""
     diff = jnp.abs(bbox_pred[:, None, :8] - gt_norm[None, :, :8]).sum(-1)
     return diff * weight
+
+
+def iou_xyxy_pair(a: jax.Array, b: jax.Array, eps: float = 1e-7):
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None]
+    union = jnp.maximum(area_a + area_b - inter, eps)
+    # enclosing box for gIoU
+    elt = jnp.minimum(a[:, None, :2], b[None, :, :2])
+    erb = jnp.maximum(a[:, None, 2:], b[None, :, 2:])
+    ewh = jnp.clip(erb - elt, 0, None)
+    enc = jnp.maximum(ewh[..., 0] * ewh[..., 1], eps)
+    iou = inter / union
+    giou = iou - (enc - union) / enc
+    return iou, giou
+
+
+def hungarian_2d_cost(cls_logits: jax.Array, boxes_cxcywh: jax.Array,
+                      centers: jax.Array, gt_boxes_xyxy: jax.Array,
+                      gt_labels: jax.Array, gt_centers: jax.Array,
+                      img_hw, cls_weight: float = 2.0, reg_weight: float = 5.0,
+                      iou_weight: float = 2.0, center_weight: float = 1.0
+                      ) -> jax.Array:
+    """2D matching cost (reference: HungarianAssigner2D,
+    core/bbox/assigners/hungarian_assigner_2d.py:20-158 — registered but the
+    shipped config uses SimOTA): focal cls + normalized-L1 + gIoU + center-L1.
+    Feed the result to `hungarian_match`/`auction_match`."""
+    h, w = img_hw
+    norm = jnp.asarray([w, h, w, h], jnp.float32)
+    cls_cost = focal_cls_cost(cls_logits, gt_labels, weight=cls_weight)
+    gt_cxcywh = jnp.stack([
+        (gt_boxes_xyxy[:, 0] + gt_boxes_xyxy[:, 2]) / 2,
+        (gt_boxes_xyxy[:, 1] + gt_boxes_xyxy[:, 3]) / 2,
+        gt_boxes_xyxy[:, 2] - gt_boxes_xyxy[:, 0],
+        gt_boxes_xyxy[:, 3] - gt_boxes_xyxy[:, 1]], axis=-1)
+    reg_cost = jnp.abs(boxes_cxcywh[:, None] / norm
+                       - gt_cxcywh[None] / norm).sum(-1) * reg_weight
+    pred_xyxy = jnp.concatenate([
+        boxes_cxcywh[:, :2] - boxes_cxcywh[:, 2:] / 2,
+        boxes_cxcywh[:, :2] + boxes_cxcywh[:, 2:] / 2], axis=-1)
+    _, giou = iou_xyxy_pair(pred_xyxy, gt_boxes_xyxy)
+    iou_cost = -giou * iou_weight
+    ctr_cost = jnp.abs(centers[:, None] / norm[:2]
+                       - gt_centers[None] / norm[:2]).sum(-1) * center_weight
+    return cls_cost + reg_cost + iou_cost + ctr_cost

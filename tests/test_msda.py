@@ -91,9 +91,9 @@ def test_msda_pallas_interpret_matches_oracle():
         k['interpret'] = True
         return orig_call(*a, **k)
 
-    mp._build_level_call.cache_clear()
+    mp._build_call.cache_clear()
     with mock.patch.object(mp.pl, 'pallas_call', interp_call):
         got = np.asarray(mp.msda_pallas(value, tuple(shapes), loc, weights))
-    mp._build_level_call.cache_clear()
+    mp._build_call.cache_clear()
     want = np.asarray(msda_xla(value, shapes, loc, weights))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
