@@ -11,7 +11,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 BASELINE_FPS = 6.4 / 7.0  # reference: 6.4 img/s over 7-camera frames
 

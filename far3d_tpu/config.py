@@ -15,7 +15,7 @@ both become fixed budgets plus validity masks (``num_proposals_2d``, ``dn_groups
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 
 # AV2 26-class taxonomy (projects/configs/far3d.py:15-20).

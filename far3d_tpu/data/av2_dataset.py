@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 import pickle
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ shards so each rank streams temporally ordered frames, padded to equal length.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence
+from typing import Iterator, List
 
 import numpy as np
 

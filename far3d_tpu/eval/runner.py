@@ -101,7 +101,6 @@ def format_av2_submission(results: List[Dict], class_names) -> 'object':
     """Detections -> AV2 feather submission dataframe
     (argoverse2_dataset.py:267-331 format_results)."""
     import pandas as pd
-    from ..geometry import yaw_to_quat_wxyz
     rows = []
     for det in results:
         b = det['boxes']

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..config import DecoderConfig, DeformableAggConfig, DepthNetConfig, HeadConfig, MultiDepthConfig
 from ..geometry import (denormalize_from_pc_range, inverse_sigmoid,
-                        lid_bin_to_depth, lid_depth_to_bin_floor,
+                        lid_bin_to_depth,
                         nerf_positional_encoding, normalize_to_pc_range,
                         pos2posemb1d, pos2posemb3d, transform_points,
                         unproject_to_lidar)

@@ -12,13 +12,12 @@ and bf16 on the MXU plays the role fp16 flash-attention plays on GPU.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..geometry import inverse_sigmoid
 from .layers import FFN
 
 

@@ -11,7 +11,7 @@ global remat options; no separate module is needed on TPU.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import flax.linen as nn
 import jax

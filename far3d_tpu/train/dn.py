@@ -20,7 +20,7 @@ label/box, everything else is background.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ normalized 8-dim code, hungarian_assigner_3d.py:29-91) -> focal cls loss
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax
