@@ -48,19 +48,21 @@ def main():
                                  out['query_valid'], cfg)
         return dets, out['state']
 
+    import numpy as np
     images = kwargs['images']
-    # warmup (compile)
+    # warmup (compile); note jax.block_until_ready does NOT sync on this
+    # image's TPU runtime — a host fetch is the only reliable barrier
     dets, tstate = step(variables, tstate, images)
-    jax.block_until_ready(dets['scores'])
+    float(np.asarray(dets['scores']).ravel()[0])
     for _ in range(4):
         dets, tstate = step(variables, tstate, images)
-    jax.block_until_ready(dets['scores'])
+    float(np.asarray(dets['scores']).ravel()[0])
 
     n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
         dets, tstate = step(variables, tstate, images)
-    jax.block_until_ready(dets['scores'])
+    float(np.asarray(dets['scores']).ravel()[0])
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 

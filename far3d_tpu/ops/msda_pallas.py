@@ -70,16 +70,22 @@ def _make_kernel(blocks_per_level: int, c: int, groups: int):
             bw = bw_ref[0]                         # (R_BLK, 4) f32
             lo = clo_ref[level]
 
+            bwh = bw.astype(jnp.bfloat16)
+
             def body(li, acc):
                 s = (lo + li) * L_BLK
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (R_BLK, L_BLK), 1) + s
-                sel = jnp.zeros((R_BLK, L_BLK), jnp.float32)
+                # built directly in bf16: saves the f32 staging buffer (VMEM
+                # headroom at training shapes). mask.astype + multiply instead
+                # of jnp.where — Mosaic's bf16 select on an i1 mask hits an
+                # "invalid relayout" compiler bug.
+                sel = jnp.zeros((R_BLK, L_BLK), jnp.bfloat16)
                 for ci in range(4):
-                    sel = sel + jnp.where(iota == idx[:, ci][:, None],
-                                          bw[:, ci][:, None], 0.0)
+                    onehot = (iota == idx[:, ci][:, None]).astype(jnp.bfloat16)
+                    sel = sel + onehot * bwh[:, ci][:, None]
                 chunk = val_ref[0, pl.ds(s, L_BLK), :]
-                return acc + jnp.dot(sel.astype(jnp.bfloat16), chunk,
+                return acc + jnp.dot(sel, chunk,
                                      preferred_element_type=jnp.float32)
 
             acc = jax.lax.fori_loop(
@@ -116,6 +122,11 @@ def _build_call(b: int, n_levels: int, q_pad: int, l_total_pad: int, c: int,
     blocks_per_level = q_pad // Q_BLK
     n_r = n_levels * blocks_per_level
     rows_lp = q_pad * P_PAD
+    # XLA stack-allocates the custom-call result in scoped VMEM when it fits;
+    # at training query counts a bf16 result is 16-24M and overflows the 16M
+    # scope, so emit f32 there (forced to HBM) and bf16 for inference shapes.
+    out_bytes = b * n_levels * q_pad * c * 2
+    out_dtype = jnp.bfloat16 if out_bytes <= 12 * 1024 * 1024 else jnp.float32
     return pl.pallas_call(
         _make_kernel(blocks_per_level, c, groups),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -136,7 +147,7 @@ def _build_call(b: int, n_levels: int, q_pad: int, l_total_pad: int, c: int,
             out_specs=pl.BlockSpec((1, Q_BLK, c), lambda bb, r, *_: (bb, r, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_levels * q_pad, c), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, n_levels * q_pad, c), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_levels * rows_lp * l_total_pad * c
             // max(n_levels, 1),
@@ -210,9 +221,7 @@ def _forward(value, spatial_shapes, loc, weights):
         idx_segs.append(idx.reshape(b, rows_lp, 4))
         bw_segs.append(bw.reshape(b, rows_lp, 4))
         wa_segs.append(wa.reshape(b, rows_lp, g))
-    idx_all = jnp.concatenate(idx_segs, axis=1)
-    bw_all = jnp.concatenate(bw_segs, axis=1)
-    wa_all = jnp.concatenate(wa_segs, axis=1)
+    idx_segs_list, bw_segs_list, wa_segs_list = idx_segs, bw_segs, wa_segs
 
     # padded pyramid values
     val_segs = []
@@ -227,18 +236,53 @@ def _forward(value, spatial_shapes, loc, weights):
         off += h * w
     val_all = jnp.concatenate(val_segs, axis=1)
 
-    chunk_lo = jnp.asarray([o // L_BLK for o in offs_pad], jnp.int32)
-    chunk_n = jnp.asarray([lp // L_BLK for lp in l_pads], jnp.int32)
+    # Partition levels into calls whose VMEM-resident (double-buffered)
+    # pyramid stays under the 16M scoped limit. Measured on v5e: a single
+    # call holding the whole ~7.5 MB pyramid fits at inference query counts
+    # (q_pad ~1040) but overflows by ~1M at training counts (DN + proposals,
+    # q_pad ~1616) — so only large-Q calls split (one extra launch ~1 ms).
+    if q_pad <= 1100:
+        budget_rows = sum(l_pads)
+    else:
+        budget_rows = (5_500_000 // (c * 2)) // L_BLK * L_BLK
+    groups_of_levels = []
+    cur, cur_rows = [], 0
+    for lvl in range(n_lvl):
+        if cur and cur_rows + l_pads[lvl] > budget_rows:
+            groups_of_levels.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(lvl)
+        cur_rows += l_pads[lvl]
+    if cur:
+        groups_of_levels.append(cur)
 
-    call = _build_call(b, n_lvl, q_pad, l_total_pad, c, g)
-    partial = call(nv, chunk_lo, chunk_n, idx_all, bw_all, wa_all, val_all)
-    # XLA silently miscompiles fusions across this custom-call boundary
-    # (wrong numerics at full scale, exact with the barrier; reproduced on
-    # this image's TPU runtime). Load-bearing — do not remove.
-    partial = jax.lax.optimization_barrier(partial)
-    # sum level partials, drop query padding, unsort
-    out_sorted = jnp.sum(
-        partial.reshape(b, n_lvl, q_pad, c).astype(jnp.float32), axis=1)[:, :q]
+    out_sorted = jnp.zeros((b, q_pad, c), jnp.float32)
+    for lvls in groups_of_levels:
+        # per-call padded offsets local to this call's value buffer
+        local_off, acc_off = [], 0
+        for lvl in lvls:
+            local_off.append(acc_off)
+            acc_off += l_pads[lvl]
+        idx_g = jnp.concatenate(
+            [idx_segs_list[lvl] - offs_pad[lvl] + local_off[i]
+             for i, lvl in enumerate(lvls)], axis=1)
+        bw_g = jnp.concatenate([bw_segs_list[lvl] for lvl in lvls], axis=1)
+        wa_g = jnp.concatenate([wa_segs_list[lvl] for lvl in lvls], axis=1)
+        val_g = jnp.concatenate([val_segs[lvl] for lvl in lvls], axis=1)
+        chunk_lo = jnp.asarray([o // L_BLK for o in local_off], jnp.int32)
+        chunk_n = jnp.asarray([l_pads[lvl] // L_BLK for lvl in lvls],
+                              jnp.int32)
+        nv_g = nv[:, :len(lvls)]
+        call = _build_call(b, len(lvls), q_pad, acc_off, c, g)
+        partial = call(nv_g, chunk_lo, chunk_n, idx_g, bw_g, wa_g, val_g)
+        # XLA silently miscompiles fusions across this custom-call boundary
+        # (wrong numerics at full scale, exact with the barrier; reproduced
+        # on this image's TPU runtime). Load-bearing — do not remove.
+        partial = jax.lax.optimization_barrier(partial)
+        out_sorted = out_sorted + jnp.sum(
+            partial.reshape(b, len(lvls), q_pad, c).astype(jnp.float32),
+            axis=1)
+    out_sorted = out_sorted[:, :q]
     out = jnp.take_along_axis(out_sorted, inv_qorder[..., None], axis=1)
     return out.astype(value.dtype)
 

@@ -96,6 +96,9 @@ def make_train_step(cfg: Far3DConfig, use_gt_depth: bool = True):
         images = batch.images
         if cfg.train.use_grid_mask:
             images = grid_mask(rng_gm, images, cfg.train.grid_mask_prob)
+        # bf16 compute (the reference trains fp16 AMP; params stay f32)
+        if cfg.train.dtype == 'bfloat16':
+            images = images.astype(jnp.bfloat16)
 
         dn = None
         if cfg.head.with_dn:

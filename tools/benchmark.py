@@ -37,16 +37,18 @@ def main():
     if args.train_step:
         from far3d_tpu.train.step import create_train_state, make_train_step
         state, tstate = create_train_state(cfg, jax.random.PRNGKey(0), b)
-        batch = synthetic_batch(cfg, batch=b)
+        batch = jax.device_put(synthetic_batch(cfg, batch=b))
+        import numpy as np
         step = jax.jit(make_train_step(cfg), donate_argnums=(1,))
         state, tstate, metrics = step(state, tstate, batch,
                                       jax.random.PRNGKey(1))
-        jax.block_until_ready(metrics['total_loss'])
+        # force a host fetch: block_until_ready does not sync on this runtime
+        float(np.asarray(metrics['total_loss']))
         t0 = time.perf_counter()
         for _ in range(args.iters):
             state, tstate, metrics = step(state, tstate, batch,
                                           jax.random.PRNGKey(1))
-        jax.block_until_ready(metrics['total_loss'])
+        float(np.asarray(metrics['total_loss']))
         dt = time.perf_counter() - t0
         print(json.dumps({'metric': 'train_step_per_s',
                           'value': args.iters / dt, 'unit': 'it/s'}))
@@ -75,13 +77,14 @@ def main():
                                  out['query_valid'], cfg)
         return dets, out['state']
 
+    import numpy as np
     for _ in range(args.warmup):
         dets, tstate = step(variables, tstate, kwargs['images'])
-    jax.block_until_ready(dets['scores'])
+    float(np.asarray(dets['scores']).ravel()[0])
     t0 = time.perf_counter()
     for _ in range(args.iters):
         dets, tstate = step(variables, tstate, kwargs['images'])
-    jax.block_until_ready(dets['scores'])
+    float(np.asarray(dets['scores']).ravel()[0])
     dt = time.perf_counter() - t0
     fps = args.iters * b / dt
     print(json.dumps({
