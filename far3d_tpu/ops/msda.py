@@ -108,3 +108,62 @@ def msda(value: jax.Array,
         except Exception:
             pass
     return msda_xla(value, spatial_shapes, loc, weights)
+
+
+def msda_onehot_xla(value: jax.Array,
+                    spatial_shapes: Sequence[Tuple[int, int]],
+                    loc: jax.Array,
+                    weights: jax.Array,
+                    row_chunk: int = 1024) -> jax.Array:
+    """Deformable sampling as chunked one-hot matmuls (differentiable).
+
+    Same contract as msda_xla, but the bilinear gather is expressed as
+    onehot @ value (MXU): under autodiff the value-gradient becomes
+    onehot^T @ g — a matmul instead of XLA's serial scatter-add, which makes
+    this the fast *training* formulation (the gather path's vjp measured
+    ~580 ms/layer at training sizes; this is ~15x faster). loc gradients flow
+    through the bilinear corner weights (the true piecewise derivative).
+    """
+    b, q, p, _ = loc.shape
+    _, _, g, n_lvl, _ = weights.shape
+    c = value.shape[-1]
+    cg = c // g
+    rows = q * p
+    n_chunks = -(-rows // row_chunk)
+    rows_pad = n_chunks * row_chunk
+
+    out = jnp.zeros((b, q, g, cg), jnp.float32)
+    offset = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        idx, bw = _corner_data(loc, h, w)
+        idx = idx.reshape(b, rows, 4)
+        bw = bw.reshape(b, rows, 4).astype(value.dtype)
+        if rows_pad != rows:
+            idx = jnp.concatenate(
+                [idx, jnp.full((b, rows_pad - rows, 4), -1, idx.dtype)], 1)
+            bw = jnp.concatenate(
+                [bw, jnp.zeros((b, rows_pad - rows, 4), bw.dtype)], 1)
+        idx = idx.reshape(b, n_chunks, row_chunk, 4).transpose(1, 0, 2, 3)
+        bw = bw.reshape(b, n_chunks, row_chunk, 4).transpose(1, 0, 2, 3)
+        val_l = value[:, offset:offset + h * w]
+
+        def sample_chunk(args, val_l=val_l, n=h * w):
+            idx_c, bw_c = args                       # (B, chunk, 4)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, n), 2)
+            onehot = jnp.zeros((b, idx_c.shape[1], n), val_l.dtype)
+            for ci in range(4):
+                onehot = onehot + jnp.where(
+                    iota == idx_c[..., ci][..., None], bw_c[..., ci][..., None],
+                    jnp.zeros((), val_l.dtype))
+            return jnp.einsum('brn,bnc->brc', onehot, val_l,
+                              preferred_element_type=jnp.float32)
+
+        sampled = jax.lax.map(sample_chunk, (idx, bw))  # (nc, B, chunk, C)
+        sampled = sampled.transpose(1, 0, 2, 3).reshape(b, rows_pad, c)
+        sampled = sampled[:, :rows].reshape(b, q, p, g, cg)
+        out = out + jnp.einsum('bqpgc,bqgp->bqgc', sampled,
+                               weights[:, :, :, lvl].astype(jnp.float32),
+                               preferred_element_type=jnp.float32)
+        offset += h * w
+    return out.reshape(b, q, c).astype(value.dtype)

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .msda import _corner_data, msda_xla
+from .msda import _corner_data, msda_onehot_xla, msda_xla
 
 P_PAD = 16                  # points per query, padded (reference uses 13)
 Q_BLK = 16                  # queries per row-block
@@ -302,9 +302,12 @@ def _fwd(value, spatial_shapes, loc, weights):
 
 
 def _bwd(spatial_shapes, res, g):
+    # gradient path: the chunked one-hot matmul formulation — its vjp is
+    # matmul transposes on the MXU instead of XLA's serial scatter-add
     value, loc, weights = res
-    _, vjp = jax.vjp(lambda v, l, w: msda_xla(v, tuple(spatial_shapes), l, w),
-                     value, loc, weights)
+    _, vjp = jax.vjp(
+        lambda v, l, w: msda_onehot_xla(v, tuple(spatial_shapes), l, w),
+        value, loc, weights)
     return vjp(g)
 
 

@@ -97,3 +97,28 @@ def test_msda_pallas_interpret_matches_oracle():
     mp._build_call.cache_clear()
     want = np.asarray(msda_xla(value, shapes, loc, weights))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_msda_onehot_matches_oracle():
+    from far3d_tpu.ops.msda import msda_onehot_xla
+    rng = np.random.RandomState(5)
+    shapes = [(6, 8), (3, 4)]
+    lt = sum(h * w for h, w in shapes)
+    b, q, p, g, c = 2, 5, 3, 2, 8
+    value = jnp.asarray(rng.randn(b, lt, c).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (b, q, p, 2)).astype(np.float32))
+    weights = jnp.asarray(rng.rand(b, q, g, len(shapes), p).astype(np.float32))
+    got = np.asarray(msda_onehot_xla(value, shapes, loc, weights, row_chunk=8))
+    want = np.asarray(msda_xla(value, shapes, loc, weights))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # gradients flow and match the gather formulation
+    import jax
+    g1 = jax.grad(lambda v, l, w: jnp.sum(
+        msda_onehot_xla(v, shapes, l, w, row_chunk=8) ** 2),
+        argnums=(0, 1, 2))(value, loc, weights)
+    g2 = jax.grad(lambda v, l, w: jnp.sum(
+        msda_xla(v, shapes, l, w) ** 2), argnums=(0, 1, 2))(value, loc,
+                                                            weights)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-3)
