@@ -122,3 +122,42 @@ def test_msda_onehot_matches_oracle():
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_msda_pallas_custom_vjp_gradients():
+    """msda_pallas's custom_vjp (interpret-mode fwd + onehot bwd) must match
+    the gather oracle's gradients."""
+    import jax
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    from far3d_tpu.ops import msda_pallas as mp
+
+    rng = np.random.RandomState(7)
+    shapes = ((6, 8), (3, 4))
+    lt = sum(h * w for h, w in shapes)
+    b, q, p, g, c = 2, 4, 3, 2, 8
+    value = jnp.asarray(rng.randn(b, lt, c).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (b, q, p, 2)).astype(np.float32))
+    weights = jnp.asarray(rng.rand(b, q, g, len(shapes), p).astype(np.float32))
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k['interpret'] = True
+        return orig_call(*a, **k)
+
+    # fixed cotangent: a squared-loss cotangent would amplify the bf16
+    # forward difference through the (large) loc jacobian
+    ct = jnp.asarray(rng.randn(b, q, c).astype(np.float32))
+    mp._build_call.cache_clear()
+    with mock.patch.object(mp.pl, 'pallas_call', interp_call):
+        _, vjp1 = jax.vjp(lambda v, l, w: mp.msda_pallas(v, shapes, l, w),
+                          value, loc, weights)
+        g1 = vjp1(ct)
+    mp._build_call.cache_clear()
+    _, vjp2 = jax.vjp(lambda v, l, w: msda_xla(v, shapes, l, w),
+                      value, loc, weights)
+    g2 = vjp2(ct)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-2, atol=2e-2)
