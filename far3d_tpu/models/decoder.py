@@ -75,7 +75,7 @@ class DeformableAggregation(nn.Module):
         ce = nn.relu(ce)
         ce = nn.Dense(ch, dtype=instance_feature.dtype, name='cam_embed1')(ce)
         ce = nn.relu(ce)
-        ce = nn.LayerNorm(dtype=ce.dtype, name='cam_embed_ln')(ce)   # (B, N, C)
+        ce = nn.LayerNorm(epsilon=1e-5,dtype=ce.dtype, name='cam_embed_ln')(ce)   # (B, N, C)
         feat_pos = (instance_feature + query_pos)[:, :, None, :] + ce[:, None, :, :]
         w = nn.Dense(c.num_groups * c.num_levels * c.num_pts,
                      kernel_init=nn.initializers.zeros,
@@ -156,16 +156,16 @@ class DecoderLayer(nn.Module):
         query = SelfAttention(c.embed_dims, c.num_heads, c.dropout,
                               c.attn_dropout, name='self_attn')(
             query, query_pos, key, key_pos, attn_mask, deterministic)
-        query = nn.LayerNorm(dtype=query.dtype, name='norm0')(query)
+        query = nn.LayerNorm(epsilon=1e-5,dtype=query.dtype, name='norm0')(query)
         query = DeformableAggregation(
             self.deform, self.spatial_shapes, self.pad_hw, self.pc_range,
             name='cross_attn')(
             query, query_pos, feat_flatten, reference_points, lidar2img,
             deterministic)
-        query = nn.LayerNorm(dtype=query.dtype, name='norm1')(query)
+        query = nn.LayerNorm(epsilon=1e-5,dtype=query.dtype, name='norm1')(query)
         query = FFN(c.embed_dims, c.ffn_dims, c.dropout, name='ffn')(
             query, deterministic)
-        query = nn.LayerNorm(dtype=query.dtype, name='norm2')(query)
+        query = nn.LayerNorm(epsilon=1e-5,dtype=query.dtype, name='norm2')(query)
         return query
 
 

@@ -46,8 +46,13 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # torch-style symmetric padding=(k-1)//2. NOT 'SAME': for stride-2 /
+        # even input XLA SAME pads (0,1) while torch pads (1,1) — converted
+        # reference weights would see shifted windows (vovnet.py:124-141).
+        p = (self.kernel - 1) // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding='SAME',
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
                     use_bias=False, dtype=x.dtype, name='conv')(x)
         x = FrozenBatchNorm(self.features, name='bn')(x)
         if self.use_relu:
@@ -66,7 +71,7 @@ class GroupNormConv(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nn.Conv(self.features, (self.kernel, self.kernel), padding='SAME',
                     dtype=x.dtype, name='conv')(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=x.dtype, name='gn')(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,dtype=x.dtype, name='gn')(x)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -81,7 +86,7 @@ class MLN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
         if self.use_ln:
-            x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=x.dtype,
+            x = nn.LayerNorm(epsilon=1e-5,use_bias=False, use_scale=False, dtype=x.dtype,
                              name='ln')(x)
         h = nn.relu(nn.Dense(self.f_dim, dtype=x.dtype, name='reduce')(c))
         gamma = nn.Dense(self.f_dim, kernel_init=nn.initializers.zeros,

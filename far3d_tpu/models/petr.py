@@ -65,16 +65,16 @@ class PETRTemporalDecoderLayer(nn.Module):
             dtype=query.dtype, name='self_attn')(
             query + query_pos, inputs_k=k + kp, inputs_v=k, mask=mask,
             deterministic=deterministic)
-        query = nn.LayerNorm(dtype=query.dtype, name='norm0')(
+        query = nn.LayerNorm(epsilon=1e-5,dtype=query.dtype, name='norm0')(
             query + nn.Dropout(self.dropout, deterministic=deterministic)(sa))
         # dense global cross attention: K/V = all image tokens + 3D PE
         ca = FlashMHA(self.embed_dims, self.num_heads, name='cross_attn')(
             query + query_pos, feats + feats_pos, feats, deterministic)
-        query = nn.LayerNorm(dtype=query.dtype, name='norm1')(
+        query = nn.LayerNorm(epsilon=1e-5,dtype=query.dtype, name='norm1')(
             query + nn.Dropout(self.dropout, deterministic=deterministic)(ca))
         query = FFN(self.embed_dims, self.ffn_dims, self.dropout, name='ffn')(
             query, deterministic)
-        return nn.LayerNorm(dtype=query.dtype, name='norm2')(query)
+        return nn.LayerNorm(epsilon=1e-5,dtype=query.dtype, name='norm2')(query)
 
 
 class PETRTemporalTransformer(nn.Module):

@@ -132,7 +132,10 @@ class FPN(nn.Module):
         for i in range(n_used, c.num_outs):
             if i > n_used and c.relu_before_extra_convs:
                 src = nn.relu(src)
-            src = nn.Conv(c.out_channels, (3, 3), strides=(2, 2), padding='SAME',
+            # explicit (1,1) padding to match torch padding=1 at stride 2
+            # (mmdet FPN extra conv; XLA SAME would pad (0,1) on even inputs)
+            src = nn.Conv(c.out_channels, (3, 3), strides=(2, 2),
+                          padding=((1, 1), (1, 1)),
                           dtype=src.dtype, name=f'fpn{i}')(src)
             outs.append(src)
         return outs
