@@ -38,10 +38,10 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), state=tstate,
                                     **kwargs)
 
+    # every input is a jit ARGUMENT: closure-captured constants silently
+    # corrupt pallas custom-call programs on this TPU runtime (CLAUDE.md)
     @jax.jit
-    def step(variables, tstate, images):
-        kw = dict(kwargs)
-        kw['images'] = images
+    def step(variables, tstate, kw):
         out = model.apply(variables, state=tstate, **kw)
         dets = decode_detections(out['all_cls_scores'][-1],
                                  out['all_bbox_preds'][-1],
@@ -49,19 +49,18 @@ def main():
         return dets, out['state']
 
     import numpy as np
-    images = kwargs['images']
     # warmup (compile); note jax.block_until_ready does NOT sync on this
     # image's TPU runtime — a host fetch is the only reliable barrier
-    dets, tstate = step(variables, tstate, images)
+    dets, tstate = step(variables, tstate, kwargs)
     float(np.asarray(dets['scores']).ravel()[0])
     for _ in range(4):
-        dets, tstate = step(variables, tstate, images)
+        dets, tstate = step(variables, tstate, kwargs)
     float(np.asarray(dets['scores']).ravel()[0])
 
     n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        dets, tstate = step(variables, tstate, images)
+        dets, tstate = step(variables, tstate, kwargs)
     float(np.asarray(dets['scores']).ravel()[0])
     dt = time.perf_counter() - t0
     fps = n_iters / dt

@@ -1,14 +1,21 @@
-"""Fused Pallas TPU kernel for multi-scale deformable sampling.
+"""Fused Pallas TPU kernels for multi-scale deformable sampling.
 
-Replaces the reference's MultiScaleDeformableAttnFunction CUDA op
-(detr3d_transformer.py:561-563) with a TPU-native design. Mosaic has no
-vectorized dynamic gather from VMEM, so the bilinear gather is reformulated as
-a *tiled one-hot matmul* on the MXU, and the per-(group, level, point)
-attention reduction is fused into the same kernel:
+Replaces the reference's MultiScaleDeformableAttnFunction CUDA op — forward
+AND backward (detr3d_transformer.py:561-563, mmcv ms_deform_attn fwd/bwd) —
+with a TPU-native design. Mosaic has no vectorized dynamic gather from VMEM,
+so the bilinear gather is reformulated as a *tiled one-hot matmul* on the MXU,
+and the per-(group, level, point) attention reduction is fused in-kernel:
 
     S[r, j]    = sum_corners bw_c[r] * (j == idx_c[r])     (VPU, per tile)
     sampled    = S @ value_level                            (MXU)
     out[q, :] += sum_p attw[q, g, p] * sampled[(q,p), g-slice]   (VPU)
+
+Backward (two kernels, gradients in matmul form — no scatter anywhere):
+    d_value   += S^T @ d_acc            where d_acc[r] = g[q(r)] * wfull[r]
+    P          = d_acc @ value_chunk^T  (per tile)
+    d_bw[r,c]  = sum_j onehot_c[r,j] * P[r,j]       (masked VPU reduce)
+    d_wa       = (d_weighted * acc) @ expand^T      (acc recomputed in-kernel)
+d_loc then follows from d_bw via the bilinear chain rule on tiny XLA tensors.
 
 Design points (each validated by measurement on a v5e chip):
   * ONE pallas_call covers all FPN levels: rows are laid out level-major with
@@ -16,19 +23,15 @@ Design points (each validated by measurement on a v5e chip):
     scalar-prefetched chunk tables route each block to its own level's
     feature columns (no cross-level MAC waste, one kernel launch);
   * the whole 4-level padded pyramid (~7.5 MB bf16 per camera) stays resident
-    in VMEM for the call;
-  * the attention-weighted point reduction happens in-kernel, so the kernel
-    emits (B, L, Q, C) partial outputs directly — the (B, L, QP, C) sampled
-    tensor (190 MB and a ~7 ms badly-shaped einsum in earlier variants) never
-    materializes;
+    in VMEM for the call; the dV accumulator (f32) likewise, with calls split
+    by a VMEM byte budget per dtype;
+  * the attention-weighted point reduction happens in-kernel, so the
+    (B, L, QP, C) sampled tensor never materializes (190 MB in early
+    variants);
   * *queries* are validity-sorted once per camera (a 3D key point projects
     into ~2 of 7 cameras and a query's points share visibility); the valid
     count is scalar-prefetched and row-blocks past it skip all compute;
-  * kernel accumulates f32, stores bf16.
-
-Wrapped in jax.custom_vjp with the backward pass delegated to the
-differentiable XLA formulation (ops/msda.py): the kernel is the inference
-hot path, training gradients reuse the oracle.
+  * kernels accumulate f32, stage bf16 on the MXU.
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .msda import _corner_data, msda_onehot_xla, msda_xla
+from .msda import _corner_data
 
 P_PAD = 16                  # points per query, padded (reference uses 13)
 Q_BLK = 16                  # queries per row-block
@@ -53,11 +56,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(blocks_per_level: int, c: int, groups: int):
-    cg = c // groups
+def _seg_t(dtype):
+    """(R_BLK, Q_BLK) row->query assignment matrix (transposed segment sum)."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (R_BLK, Q_BLK), 0) // P_PAD ==
+            jax.lax.broadcasted_iota(jnp.int32, (R_BLK, Q_BLK), 1)
+            ).astype(dtype)
 
-    def kernel(nv_ref, clo_ref, cn_ref, idx_ref, bw_ref, wa_ref, val_ref,
-               out_ref):
+
+def _expand_mat(groups: int, c: int, dtype):
+    """(groups, C) group->channel expansion matrix."""
+    cg = c // groups
+    ch_group = jax.lax.broadcasted_iota(jnp.int32, (groups, c), 1) // cg
+    return (ch_group == jax.lax.broadcasted_iota(
+        jnp.int32, (groups, c), 0)).astype(dtype)
+
+
+def _expand_mat_t(groups: int, c: int, dtype):
+    """(C, groups) channel->group reduction matrix (transpose of the above,
+    built directly so Mosaic never sees a transposed matmul operand)."""
+    cg = c // groups
+    ch_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    return (ch_group == jax.lax.broadcasted_iota(
+        jnp.int32, (c, groups), 1)).astype(dtype)
+
+
+def _make_kernel(blocks_per_level: int, c: int, groups: int):
+    def msda_fwd_kernel(nv_ref, clo_ref, rlo_ref, rhi_ref, idx_ref, bw_ref,
+                        wa_ref, val_ref, out_ref):
         b = pl.program_id(0)
         r = pl.program_id(1)
         level = r // blocks_per_level
@@ -89,17 +114,15 @@ def _make_kernel(blocks_per_level: int, c: int, groups: int):
                                      preferred_element_type=jnp.float32)
 
             acc = jax.lax.fori_loop(
-                0, cn_ref[level], body, jnp.zeros((R_BLK, c), jnp.float32))
+                rlo_ref[b, r], rhi_ref[b, r], body,
+                jnp.zeros((R_BLK, c), jnp.float32))
             # fused attention-weighted point reduction, in matmul form
             # (Mosaic cannot reshape along the lane dim):
             #   wfull[r, ch] = wa[r, ch // cg]          (expand groups -> C)
             #   out[q, ch]   = sum_{r in query q} wa * acc   (segment sum)
             wa = wa_ref[0]                         # (R_BLK, groups) f32
-            ch_group = jax.lax.broadcasted_iota(
-                jnp.int32, (groups, c), 1) // cg
-            expand = (ch_group == jax.lax.broadcasted_iota(
-                jnp.int32, (groups, c), 0)).astype(jnp.float32)
-            wfull = jnp.dot(wa, expand, preferred_element_type=jnp.float32)
+            wfull = jnp.dot(wa, _expand_mat(groups, c, jnp.float32),
+                            preferred_element_type=jnp.float32)
             weighted = acc * wfull                 # (R_BLK, C)
             row_q = jax.lax.broadcasted_iota(
                 jnp.int32, (Q_BLK, R_BLK), 1) // P_PAD
@@ -113,7 +136,7 @@ def _make_kernel(blocks_per_level: int, c: int, groups: int):
         def _():
             out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    return kernel
+    return msda_fwd_kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -130,7 +153,7 @@ def _build_call(b: int, n_levels: int, q_pad: int, l_total_pad: int, c: int,
     return pl.pallas_call(
         _make_kernel(blocks_per_level, c, groups),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,   # nv (B, L), chunk_lo (L,), chunk_n (L,)
+            num_scalar_prefetch=4,   # nv, chunk_lo, rng_lo, rng_hi
             grid=(b, n_r),
             in_specs=[
                 pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
@@ -157,6 +180,210 @@ def _build_call(b: int, n_levels: int, q_pad: int, l_total_pad: int, c: int,
     )
 
 
+def _make_dval_kernel(blocks_per_level: int, c: int, groups: int):
+    """d_value += S^T @ d_acc, accumulated over all row-blocks into the
+    VMEM-resident (f32) gradient pyramid (mmcv ms_deform_attn_backward's
+    value gradient, scatter-free)."""
+
+    def msda_dval_kernel(nv_ref, clo_ref, rlo_ref, rhi_ref, idx_ref, bw_ref,
+                         wa_ref, g_ref, dval_ref):
+        b = pl.program_id(0)
+        r = pl.program_id(1)
+        level = r // blocks_per_level
+        qoff = r % blocks_per_level
+
+        @pl.when(r == 0)
+        def _():
+            dval_ref[0] = jnp.zeros_like(dval_ref[0])
+
+        active = qoff * Q_BLK < nv_ref[b, level]
+
+        @pl.when(active)
+        def _():
+            idx = idx_ref[0]                       # (R_BLK, 4) int32, global
+            bw = bw_ref[0]                         # (R_BLK, 4) f32
+            wa = wa_ref[0]                         # (R_BLK, groups) f32
+            gq = g_ref[0]                          # (Q_BLK, C) f32
+            # d_weighted[r] = g[q(r)]; wfull = group->channel expansion of wa
+            d_weighted = jnp.dot(_seg_t(jnp.float32), gq,
+                                 preferred_element_type=jnp.float32)
+            wfull = jnp.dot(wa, _expand_mat(groups, c, jnp.float32),
+                            preferred_element_type=jnp.float32)
+            d_acc = (d_weighted * wfull).astype(jnp.bfloat16)   # (R_BLK, C)
+            lo = clo_ref[level]
+            bwh = bw.astype(jnp.bfloat16)
+
+            def body(li, _):
+                s = (lo + li) * L_BLK
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (L_BLK, R_BLK), 0) + s
+                sel_t = jnp.zeros((L_BLK, R_BLK), jnp.bfloat16)
+                for ci in range(4):
+                    onehot = (iota == idx[:, ci][None, :]).astype(jnp.bfloat16)
+                    sel_t = sel_t + onehot * bwh[:, ci][None, :]
+                dv = jnp.dot(sel_t, d_acc, preferred_element_type=jnp.float32)
+                dval_ref[0, pl.ds(s, L_BLK), :] += dv
+                return 0
+
+            jax.lax.fori_loop(rlo_ref[b, r], rhi_ref[b, r], body, 0)
+
+    return msda_dval_kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_dval_call(b: int, n_levels: int, q_pad: int, l_total_pad: int,
+                     c: int, groups: int):
+    blocks_per_level = q_pad // Q_BLK
+    n_r = n_levels * blocks_per_level
+    return pl.pallas_call(
+        _make_dval_kernel(blocks_per_level, c, groups),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b, n_r),
+            in_specs=[
+                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_BLK, groups),
+                             lambda bb, r, *_: (bb, r, 0),
+                             memory_space=pltpu.VMEM),
+                # cotangent rows for this row-block's queries
+                pl.BlockSpec((1, Q_BLK, c),
+                             lambda bb, r, *_: (bb, r, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            # f32 gradient pyramid resident across the whole (b,·) sweep
+            out_specs=pl.BlockSpec((1, l_total_pad, c),
+                                   lambda bb, r, *_: (bb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, l_total_pad, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_r * R_BLK * l_total_pad * c // max(n_levels, 1),
+            bytes_accessed=b * (n_r * R_BLK * (8 + groups * 4)
+                                + n_levels * q_pad * c * 4
+                                + l_total_pad * c * 4),
+            transcendentals=0),
+    )
+
+
+def _make_dattn_kernel(blocks_per_level: int, c: int, groups: int):
+    """d_wa (attention-weight grad) and d_bw (bilinear-corner-weight grad):
+    recompute acc = S @ V in-kernel, and read per-corner sampled·d_acc dots
+    out of P = d_acc @ V^T with the same one-hot masks."""
+
+    def msda_dattn_kernel(nv_ref, clo_ref, rlo_ref, rhi_ref, idx_ref,
+                          bw_ref, wa_ref, g_ref, val_ref, dwa_ref, dbw_ref):
+        b = pl.program_id(0)
+        r = pl.program_id(1)
+        level = r // blocks_per_level
+        qoff = r % blocks_per_level
+        active = qoff * Q_BLK < nv_ref[b, level]
+
+        @pl.when(active)
+        def _():
+            idx = idx_ref[0]
+            bw = bw_ref[0]
+            wa = wa_ref[0]
+            gq = g_ref[0]
+            expand = _expand_mat(groups, c, jnp.float32)
+            d_weighted = jnp.dot(_seg_t(jnp.float32), gq,
+                                 preferred_element_type=jnp.float32)
+            wfull = jnp.dot(wa, expand, preferred_element_type=jnp.float32)
+            d_acc = d_weighted * wfull
+            d_acc_h = d_acc.astype(jnp.bfloat16)
+            lo = clo_ref[level]
+            bwh = bw.astype(jnp.bfloat16)
+
+            def body(li, carry):
+                acc, dbw = carry
+                s = (lo + li) * L_BLK
+                chunk = val_ref[0, pl.ds(s, L_BLK), :]     # (L_BLK, C) bf16
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (R_BLK, L_BLK), 1) + s
+                # P[r, j] = d_acc[r] . value[j]  (contract channels)
+                p_mat = jax.lax.dot_general(
+                    d_acc_h, chunk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (R_BLK, L_BLK)
+                sel = jnp.zeros((R_BLK, L_BLK), jnp.bfloat16)
+                cols = []
+                for ci in range(4):
+                    onehot = (iota == idx[:, ci][:, None])
+                    sel = sel + (onehot.astype(jnp.bfloat16)
+                                 * bwh[:, ci][:, None])
+                    cols.append(jnp.sum(onehot.astype(jnp.float32) * p_mat,
+                                        axis=1, keepdims=True))
+                acc = acc + jnp.dot(sel, chunk,
+                                    preferred_element_type=jnp.float32)
+                dbw = dbw + jnp.concatenate(cols, axis=1)
+                return acc, dbw
+
+            acc, dbw = jax.lax.fori_loop(
+                rlo_ref[b, r], rhi_ref[b, r], body,
+                (jnp.zeros((R_BLK, c), jnp.float32),
+                 jnp.zeros((R_BLK, 4), jnp.float32)))
+            # d_wa[r, g] = sum_{ch in g} d_weighted[r, ch] * acc[r, ch]
+            dwa = jnp.dot(d_weighted * acc,
+                          _expand_mat_t(groups, c, jnp.float32),
+                          preferred_element_type=jnp.float32)  # (R_BLK, G)
+            dwa_ref[0] = dwa
+            dbw_ref[0] = dbw
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            dwa_ref[0] = jnp.zeros_like(dwa_ref[0])
+            dbw_ref[0] = jnp.zeros_like(dbw_ref[0])
+
+    return msda_dattn_kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_dattn_call(b: int, n_levels: int, q_pad: int, l_total_pad: int,
+                      c: int, groups: int):
+    blocks_per_level = q_pad // Q_BLK
+    n_r = n_levels * blocks_per_level
+    rows = n_levels * q_pad * P_PAD
+    return pl.pallas_call(
+        _make_dattn_kernel(blocks_per_level, c, groups),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b, n_r),
+            in_specs=[
+                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_BLK, groups),
+                             lambda bb, r, *_: (bb, r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Q_BLK, c),
+                             lambda bb, r, *_: (bb, r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l_total_pad, c), lambda bb, r, *_: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, R_BLK, groups),
+                             lambda bb, r, *_: (bb, r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows, groups), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows, 4), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_r * R_BLK * l_total_pad * c // max(n_levels, 1),
+            bytes_accessed=b * (n_r * R_BLK * (8 + groups * 8)
+                                + n_levels * q_pad * c * 4
+                                + l_total_pad * c * 2),
+            transcendentals=0),
+    )
+
+
 def _pad_points(x: jax.Array, fill) -> jax.Array:
     """(B, Q, P, ...) -> (B, Q, P_PAD, ...)."""
     b, q, p = x.shape[:3]
@@ -166,125 +393,316 @@ def _pad_points(x: jax.Array, fill) -> jax.Array:
     return jnp.concatenate([x, pad], axis=2)
 
 
-def _forward(value, spatial_shapes, loc, weights):
-    b, q, p, _ = loc.shape
-    _, _, g, n_lvl, _ = weights.shape
-    c = value.shape[-1]
-    q_pad = _round_up(q, Q_BLK)
-    rows_lp = q_pad * P_PAD
+class _Prep:
+    """Shared forward/backward preprocessing: query validity sort, padded
+    level layout, per-level corner data and attention weights in sorted,
+    point-padded row space."""
 
-    # padded level offsets inside the VMEM-resident pyramid (L_BLK aligned)
-    l_pads = [_round_up(h * w, L_BLK) for (h, w) in spatial_shapes]
-    offs_pad = [0]
-    for lp in l_pads[:-1]:
-        offs_pad.append(offs_pad[-1] + lp)
-    l_total_pad = offs_pad[-1] + l_pads[-1]
+    def __init__(self, spatial_shapes, loc, weights):
+        b, q, p, _ = loc.shape
+        _, _, g, n_lvl, _ = weights.shape
+        self.b, self.q, self.p, self.g, self.n_lvl = b, q, p, g, n_lvl
+        self.q_pad = _round_up(q, Q_BLK)
+        self.rows_lp = self.q_pad * P_PAD
+        self.spatial_shapes = spatial_shapes
 
-    # one query-validity sort per camera shared by all levels. A point has an
-    # in-bounds bilinear corner at level (H, W) iff its normalized coords lie
-    # in (-0.5/W, 1 + 0.5/W) x (-0.5/H, 1 + 0.5/H); the window is widest at
-    # the coarsest level, so the union over levels reduces to a box test.
-    hmin = min(h for h, _ in spatial_shapes)
-    wmin = min(w for _, w in spatial_shapes)
-    x, y = loc[..., 0], loc[..., 1]
-    pt_ok = ((x > -0.5 / wmin) & (x < 1 + 0.5 / wmin) &
-             (y > -0.5 / hmin) & (y < 1 + 0.5 / hmin))
-    valid_q = jnp.any(pt_ok, axis=2)                         # (B, Q)
-    qorder = jnp.argsort(~valid_q, axis=1, stable=True)      # (B, Q)
-    inv_qorder = jnp.argsort(qorder, axis=1)
-    nv = jnp.broadcast_to(jnp.sum(valid_q, axis=1).astype(jnp.int32)[:, None],
-                          (b, n_lvl))
+        # padded level offsets inside the VMEM-resident pyramid (L_BLK aligned)
+        self.l_pads = [_round_up(h * w, L_BLK) for (h, w) in spatial_shapes]
+        offs_pad = [0]
+        for lp in self.l_pads[:-1]:
+            offs_pad.append(offs_pad[-1] + lp)
+        self.offs_pad = offs_pad
+        self.l_total_pad = offs_pad[-1] + self.l_pads[-1]
 
-    # sort loc/weights once; corner data is computed in sorted space so the
-    # per-level index/weight tensors need no further gathers
-    loc_s = jnp.take_along_axis(loc, qorder[:, :, None, None], axis=1)
-    w_sorted = jnp.take_along_axis(
-        weights.astype(jnp.float32), qorder[:, :, None, None, None], axis=1)
+        # one query-validity sort per camera shared by all levels. A point
+        # has an in-bounds bilinear corner at level (H, W) iff its normalized
+        # coords lie in (-0.5/W, 1 + 0.5/W) x (-0.5/H, 1 + 0.5/H); the window
+        # is widest at the coarsest level, so the union over levels reduces
+        # to a box test.
+        hmin = min(h for h, _ in spatial_shapes)
+        wmin = min(w for _, w in spatial_shapes)
+        x, y = loc[..., 0], loc[..., 1]
+        pt_ok = ((x > -0.5 / wmin) & (x < 1 + 0.5 / wmin) &
+                 (y > -0.5 / hmin) & (y < 1 + 0.5 / hmin))
+        valid_q = jnp.any(pt_ok, axis=2)                        # (B, Q)
+        # sort valid queries by their mean image row so a 16-query row-block
+        # is spatially coherent — its per-block chunk range (below) then
+        # covers a small slice of each level instead of the whole level.
+        # Invalid queries sort to the back (+inf key).
+        okf = pt_ok.astype(jnp.float32)
+        mean_y = jnp.sum(jnp.clip(y, 0.0, 1.0) * okf, axis=2) / \
+            jnp.maximum(jnp.sum(okf, axis=2), 1.0)
+        key = jnp.where(valid_q, mean_y, jnp.inf)
+        self.qorder = jnp.argsort(key, axis=1, stable=True)
+        self.inv_qorder = jnp.argsort(self.qorder, axis=1)
+        self.nv = jnp.broadcast_to(
+            jnp.sum(valid_q, axis=1).astype(jnp.int32)[:, None], (b, n_lvl))
 
-    pad_q = q_pad - q
-    idx_segs, bw_segs, wa_segs = [], [], []
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        idx, bw = _corner_data(loc_s, h, w)     # (B, Q, P, 4), level-local
-        idx = idx.astype(jnp.int32) + offs_pad[lvl]
-        bw = bw.astype(jnp.float32)
-        idx = _pad_points(idx, -1)
-        bw = _pad_points(bw, 0.0)
-        wa = jnp.transpose(w_sorted[:, :, :, lvl], (0, 1, 3, 2))  # (B,Q,P,G)
-        wa = _pad_points(wa, 0.0)
-        if pad_q:
-            idx = jnp.concatenate(
-                [idx, jnp.full((b, pad_q, P_PAD, 4), -1, jnp.int32)], axis=1)
-            bw = jnp.concatenate(
-                [bw, jnp.zeros((b, pad_q, P_PAD, 4))], axis=1)
-            wa = jnp.concatenate(
-                [wa, jnp.zeros((b, pad_q, P_PAD, g))], axis=1)
-        idx_segs.append(idx.reshape(b, rows_lp, 4))
-        bw_segs.append(bw.reshape(b, rows_lp, 4))
-        wa_segs.append(wa.reshape(b, rows_lp, g))
-    idx_segs_list, bw_segs_list, wa_segs_list = idx_segs, bw_segs, wa_segs
+        # sort loc/weights once; corner data is computed in sorted space so
+        # the per-level index/weight tensors need no further gathers
+        self.loc_s = jnp.take_along_axis(
+            loc, self.qorder[:, :, None, None], axis=1)
+        w_sorted = jnp.take_along_axis(
+            weights.astype(jnp.float32),
+            self.qorder[:, :, None, None, None], axis=1)
 
-    # padded pyramid values
-    val_segs = []
-    off = 0
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        v = value[:, off:off + h * w].astype(jnp.bfloat16)
-        if l_pads[lvl] != h * w:
-            v = jnp.concatenate(
-                [v, jnp.zeros((b, l_pads[lvl] - h * w, c), jnp.bfloat16)],
-                axis=1)
-        val_segs.append(v)
-        off += h * w
-    val_all = jnp.concatenate(val_segs, axis=1)
+        pad_q = self.q_pad - q
+        idx_segs, bw_segs, wa_segs, rng_segs = [], [], [], []
+        blocks = self.q_pad // Q_BLK
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            idx, bw = _corner_data(self.loc_s, h, w)   # (B, Q, P, 4), local
+            idx = idx.astype(jnp.int32) + offs_pad[lvl]
+            bw = bw.astype(jnp.float32)
+            idx = _pad_points(idx, -1)
+            bw = _pad_points(bw, 0.0)
+            wa = jnp.transpose(w_sorted[:, :, :, lvl], (0, 1, 3, 2))
+            wa = _pad_points(wa, 0.0)
+            if pad_q:
+                idx = jnp.concatenate(
+                    [idx, jnp.full((b, pad_q, P_PAD, 4), -1, jnp.int32)],
+                    axis=1)
+                bw = jnp.concatenate(
+                    [bw, jnp.zeros((b, pad_q, P_PAD, 4))], axis=1)
+                wa = jnp.concatenate(
+                    [wa, jnp.zeros((b, pad_q, P_PAD, g))], axis=1)
+            idx_segs.append(idx.reshape(b, self.rows_lp, 4))
+            bw_segs.append(bw.reshape(b, self.rows_lp, 4))
+            wa_segs.append(wa.reshape(b, self.rows_lp, g))
+            # per-row-block chunk range, level-local: a block only ever
+            # touches chunks its (valid-corner) indices fall into, and the
+            # mean-y sort above keeps that span narrow
+            chunk = (idx_segs[-1] - offs_pad[lvl]) // L_BLK
+            validc = bw_segs[-1] > 0
+            chunk4 = chunk.reshape(b, blocks, R_BLK * 4)
+            valid4 = validc.reshape(b, blocks, R_BLK * 4)
+            cmin = jnp.min(jnp.where(valid4, chunk4, 1 << 30), axis=-1)
+            hi = jnp.max(jnp.where(valid4, chunk4, -1), axis=-1) + 1
+            lo = jnp.minimum(cmin, hi)            # empty block -> (0, 0)
+            rng_segs.append(jnp.stack([lo, hi], axis=-1).astype(jnp.int32))
+        self.idx_segs = idx_segs
+        self.bw_segs = bw_segs
+        self.wa_segs = wa_segs
+        self.rng_segs = rng_segs
 
-    # Partition levels into calls whose VMEM-resident (double-buffered)
-    # pyramid stays under the 16M scoped limit. Measured on v5e: a single
-    # call holding the whole ~7.5 MB pyramid fits at inference query counts
-    # (q_pad ~1040) but overflows by ~1M at training counts (DN + proposals,
-    # q_pad ~1616) — so only large-Q calls split (one extra launch ~1 ms).
-    if q_pad <= 1100:
-        budget_rows = sum(l_pads)
-    else:
-        budget_rows = (5_500_000 // (c * 2)) // L_BLK * L_BLK
-    groups_of_levels = []
-    cur, cur_rows = [], 0
-    for lvl in range(n_lvl):
-        if cur and cur_rows + l_pads[lvl] > budget_rows:
-            groups_of_levels.append(cur)
-            cur, cur_rows = [], 0
-        cur.append(lvl)
-        cur_rows += l_pads[lvl]
-    if cur:
-        groups_of_levels.append(cur)
+    def pad_value(self, value, dtype=jnp.bfloat16):
+        """Per-level zero-padded pyramid segments, L_BLK-aligned."""
+        segs = []
+        off = 0
+        b = self.b
+        c = value.shape[-1]
+        for lvl, (h, w) in enumerate(self.spatial_shapes):
+            v = value[:, off:off + h * w].astype(dtype)
+            if self.l_pads[lvl] != h * w:
+                v = jnp.concatenate(
+                    [v, jnp.zeros((b, self.l_pads[lvl] - h * w, c), dtype)],
+                    axis=1)
+            segs.append(v)
+            off += h * w
+        return segs
 
-    out_sorted = jnp.zeros((b, q_pad, c), jnp.float32)
-    for lvls in groups_of_levels:
-        # per-call padded offsets local to this call's value buffer
+    def level_groups(self, bytes_per_row: int, budget_bytes: int):
+        """Partition levels into calls whose VMEM-resident pyramid (value or
+        dV accumulator) stays under `budget_bytes`."""
+        budget_rows = max(budget_bytes // bytes_per_row // L_BLK, 1) * L_BLK
+        groups, cur, cur_rows = [], [], 0
+        for lvl in range(self.n_lvl):
+            if cur and cur_rows + self.l_pads[lvl] > budget_rows:
+                groups.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(lvl)
+            cur_rows += self.l_pads[lvl]
+        if cur:
+            groups.append(cur)
+        return groups
+
+    def group_inputs(self, lvls):
+        """Concatenated per-call row tensors + chunk routing tables, with
+        corner indices rebased to the call-local value buffer.
+
+        The row tensors are optimization-barriered: when the fwd and bwd of
+        the custom_vjp live in one XLA program (training), XLA fuses the
+        shared sort/corner-data producers across the custom-call boundary
+        and silently corrupts the kernel inputs (same bug class as the
+        output-side barrier below; reproduced on this image's TPU runtime —
+        fwd-only exact, fwd+bwd program wrong without these)."""
         local_off, acc_off = [], 0
         for lvl in lvls:
             local_off.append(acc_off)
-            acc_off += l_pads[lvl]
+            acc_off += self.l_pads[lvl]
         idx_g = jnp.concatenate(
-            [idx_segs_list[lvl] - offs_pad[lvl] + local_off[i]
+            [self.idx_segs[lvl] - self.offs_pad[lvl] + local_off[i]
              for i, lvl in enumerate(lvls)], axis=1)
-        bw_g = jnp.concatenate([bw_segs_list[lvl] for lvl in lvls], axis=1)
-        wa_g = jnp.concatenate([wa_segs_list[lvl] for lvl in lvls], axis=1)
-        val_g = jnp.concatenate([val_segs[lvl] for lvl in lvls], axis=1)
+        bw_g = jnp.concatenate([self.bw_segs[lvl] for lvl in lvls], axis=1)
+        wa_g = jnp.concatenate([self.wa_segs[lvl] for lvl in lvls], axis=1)
+        idx_g, bw_g, wa_g = jax.lax.optimization_barrier(
+            (idx_g, bw_g, wa_g))
         chunk_lo = jnp.asarray([o // L_BLK for o in local_off], jnp.int32)
-        chunk_n = jnp.asarray([l_pads[lvl] // L_BLK for lvl in lvls],
-                              jnp.int32)
-        nv_g = nv[:, :len(lvls)]
-        call = _build_call(b, len(lvls), q_pad, acc_off, c, g)
-        partial = call(nv_g, chunk_lo, chunk_n, idx_g, bw_g, wa_g, val_g)
+        # per-(b, row-block) level-local chunk ranges (see __init__); two 2-D
+        # arrays — a 3-D (B, n_r, 2) scalar-prefetch operand gets its trailing
+        # dim padded to a full SMEM tile and blows the 1 MB SMEM budget
+        rng_g = jnp.concatenate([self.rng_segs[lvl] for lvl in lvls], axis=1)
+        rlo_g, rhi_g = rng_g[..., 0], rng_g[..., 1]
+        nv_g = self.nv[:, :len(lvls)]
+        return idx_g, bw_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, acc_off
+
+
+# Measured on v5e: a single call holding the whole ~7.5 MB bf16 pyramid fits
+# at inference query counts (q_pad ~1160, verified after the K=256 proposal
+# budget) but overflows the 16 MB scoped VMEM at training counts
+# (DN + proposals, q_pad ~1616) — so only large-Q calls split (one extra
+# launch ~1 ms).
+_FWD_SINGLE_CALL_MAX_Q = 1200
+_FWD_BUDGET_SMALL_Q = 1 << 62        # no split
+_FWD_BUDGET_LARGE_Q = 5_500_000      # bytes of bf16 pyramid per call
+_DVAL_BUDGET = 10_500_000            # bytes of f32 dV accumulator per call
+# Mosaic double-buffers the dV accumulator block even with a constant output
+# index map (measured: 10.1 MB block -> 20.25 MB scoped alloc, compile OOM),
+# so the per-call block must stay under half the 16 MB scope minus input
+# overheads. Calls whose f32 block exceeds this split channel-wise along
+# GROUP boundaries (the group->channel map is block-diagonal, so a channel
+# slice aligned to groups is self-contained).
+_DVAL_BLOCK_BUDGET = 5_500_000
+
+
+def _forward(value, spatial_shapes, loc, weights):
+    prep = _Prep(spatial_shapes, loc, weights)
+    b, q, c, g = prep.b, prep.q, value.shape[-1], prep.g
+    val_segs = prep.pad_value(value)
+
+    budget = (_FWD_BUDGET_SMALL_Q if prep.q_pad <= _FWD_SINGLE_CALL_MAX_Q
+              else _FWD_BUDGET_LARGE_Q)
+    out_sorted = jnp.zeros((b, prep.q_pad, c), jnp.float32)
+    for lvls in prep.level_groups(c * 2, budget):
+        idx_g, bw_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, acc_off = \
+            prep.group_inputs(lvls)
+        val_g = jnp.concatenate([val_segs[lvl] for lvl in lvls], axis=1)
+        call = _build_call(b, len(lvls), prep.q_pad, acc_off, c, g)
+        partial = call(nv_g, chunk_lo, rlo_g, rhi_g, idx_g, bw_g,
+                       wa_g, val_g)
         # XLA silently miscompiles fusions across this custom-call boundary
         # (wrong numerics at full scale, exact with the barrier; reproduced
         # on this image's TPU runtime). Load-bearing — do not remove.
         partial = jax.lax.optimization_barrier(partial)
         out_sorted = out_sorted + jnp.sum(
-            partial.reshape(b, len(lvls), q_pad, c).astype(jnp.float32),
+            partial.reshape(b, len(lvls), prep.q_pad, c).astype(jnp.float32),
             axis=1)
     out_sorted = out_sorted[:, :q]
-    out = jnp.take_along_axis(out_sorted, inv_qorder[..., None], axis=1)
+    out = jnp.take_along_axis(out_sorted, prep.inv_qorder[..., None], axis=1)
     return out.astype(value.dtype)
+
+
+def _backward(value, spatial_shapes, loc, weights, g_out):
+    """Pallas backward: d_value via S^T matmuls, d_loc/d_weights via the
+    in-kernel recompute, bilinear chain rule on small XLA tensors
+    (mmcv ms_deform_attn_backward semantics, detr3d_transformer.py:561-563)."""
+    prep = _Prep(spatial_shapes, loc, weights)
+    b, q, p, g, n_lvl = prep.b, prep.q, prep.p, prep.g, prep.n_lvl
+    c = value.shape[-1]
+
+    # cotangent rows in sorted, q-padded query space
+    g_s = jnp.take_along_axis(g_out.astype(jnp.float32),
+                              prep.qorder[..., None], axis=1)
+    if prep.q_pad != q:
+        g_s = jnp.concatenate(
+            [g_s, jnp.zeros((b, prep.q_pad - q, c), jnp.float32)], axis=1)
+
+    # ---- d_value: f32 accumulator pyramid, budget-split calls -------------
+    dval_segs = {}
+    for lvls in prep.level_groups(c * 4, _DVAL_BUDGET):
+        idx_g, bw_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, acc_off = \
+            prep.group_inputs(lvls)
+        g_rep = jnp.concatenate([g_s] * len(lvls), axis=1)
+        # channel-split along group boundaries when the f32 block won't fit
+        n_split = 1
+        block_bytes = acc_off * c * 4
+        while (block_bytes // n_split > _DVAL_BLOCK_BUDGET
+               and n_split < g and g % (n_split * 2) == 0):
+            n_split *= 2
+        c_s, g_sub = c // n_split, g // n_split
+        parts = []
+        for s in range(n_split):
+            call = _build_dval_call(b, len(lvls), prep.q_pad, acc_off,
+                                    c_s, g_sub)
+            parts.append(call(
+                nv_g, chunk_lo, rlo_g, rhi_g, idx_g, bw_g,
+                wa_g[..., s * g_sub:(s + 1) * g_sub],
+                g_rep[..., s * c_s:(s + 1) * c_s]))
+        dval = (parts[0] if n_split == 1
+                else jnp.concatenate(parts, axis=-1))
+        dval = jax.lax.optimization_barrier(dval)
+        off = 0
+        for lvl in lvls:
+            h, w = spatial_shapes[lvl]
+            dval_segs[lvl] = dval[:, off:off + h * w]
+            off += prep.l_pads[lvl]
+    d_value = jnp.concatenate([dval_segs[lvl] for lvl in range(n_lvl)],
+                              axis=1).astype(value.dtype)
+
+    # ---- d_wa / d_bw: recompute kernel over the bf16 value pyramid --------
+    val_segs = prep.pad_value(value)
+    budget = (_FWD_BUDGET_SMALL_Q if prep.q_pad <= _FWD_SINGLE_CALL_MAX_Q
+              else _FWD_BUDGET_LARGE_Q)
+    dwa_segs, dbw_segs = {}, {}
+    for lvls in prep.level_groups(c * 2, budget):
+        idx_g, bw_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, acc_off = \
+            prep.group_inputs(lvls)
+        val_g = jnp.concatenate([val_segs[lvl] for lvl in lvls], axis=1)
+        call = _build_dattn_call(b, len(lvls), prep.q_pad, acc_off, c, g)
+        g_rep = jnp.concatenate([g_s] * len(lvls), axis=1)
+        dwa, dbw = call(nv_g, chunk_lo, rlo_g, rhi_g, idx_g, bw_g, wa_g,
+                        g_rep, val_g)
+        dwa = jax.lax.optimization_barrier(dwa)
+        dbw = jax.lax.optimization_barrier(dbw)
+        for i, lvl in enumerate(lvls):
+            dwa_segs[lvl] = dwa[:, i * prep.rows_lp:(i + 1) * prep.rows_lp]
+            dbw_segs[lvl] = dbw[:, i * prep.rows_lp:(i + 1) * prep.rows_lp]
+
+    # ---- assemble d_weights and d_loc in sorted query space ---------------
+    d_weights_s = []
+    d_loc_s = jnp.zeros((b, q, p, 2), jnp.float32)
+    loc_s = prep.loc_s
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        dwa_l = dwa_segs[lvl].reshape(b, prep.q_pad, P_PAD, g)[:, :q, :p]
+        d_weights_s.append(jnp.transpose(dwa_l, (0, 1, 3, 2)))  # (B,Q,G,P)
+        dbw_l = dbw_segs[lvl].reshape(b, prep.q_pad, P_PAD, 4)[:, :q, :p]
+        # bilinear chain rule (matches _corner_data's corner order/masks)
+        x = loc_s[..., 0] * w - 0.5
+        y = loc_s[..., 1] * h - 0.5
+        dx = x - jnp.floor(x)
+        dy = y - jnp.floor(y)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        coeffs = (
+            (y0, x0, -(1 - dy), -(1 - dx)),
+            (y0, x0 + 1, (1 - dy), -dx),
+            (y0 + 1, x0, -dy, (1 - dx)),
+            (y0 + 1, x0 + 1, dy, dx),
+        )
+        ddx = jnp.zeros_like(dx)
+        ddy = jnp.zeros_like(dy)
+        for ci, (cy, cx, cdx, cdy) in enumerate(coeffs):
+            valid = ((cy >= 0) & (cy < h) & (cx >= 0) & (cx < w)
+                     ).astype(jnp.float32)
+            db = dbw_l[..., ci] * valid
+            ddx = ddx + db * cdx
+            ddy = ddy + db * cdy
+        d_loc_s = d_loc_s + jnp.stack([ddx * w, ddy * h], axis=-1)
+    d_weights_s = jnp.stack(d_weights_s, axis=3)        # (B, Q, G, L, P)
+
+    # unsort back to caller query order
+    d_loc = jnp.take_along_axis(
+        d_loc_s, prep.inv_qorder[:, :, None, None], axis=1)
+    d_weights = jnp.take_along_axis(
+        d_weights_s, prep.inv_qorder[:, :, None, None, None], axis=1)
+    return (d_value, d_loc.astype(loc.dtype),
+            d_weights.astype(weights.dtype))
+
+
+def _clear_kernel_caches():
+    """Drop memoized pallas_call builders (used by interpret-mode tests)."""
+    _build_call.cache_clear()
+    _build_dval_call.cache_clear()
+    _build_dattn_call.cache_clear()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -302,13 +720,8 @@ def _fwd(value, spatial_shapes, loc, weights):
 
 
 def _bwd(spatial_shapes, res, g):
-    # gradient path: the chunked one-hot matmul formulation — its vjp is
-    # matmul transposes on the MXU instead of XLA's serial scatter-add
     value, loc, weights = res
-    _, vjp = jax.vjp(
-        lambda v, l, w: msda_onehot_xla(v, tuple(spatial_shapes), l, w),
-        value, loc, weights)
-    return vjp(g)
+    return _backward(value, tuple(spatial_shapes), loc, weights, g)
 
 
 msda_pallas.defvjp(_fwd, _bwd)

@@ -91,10 +91,10 @@ def test_msda_pallas_interpret_matches_oracle():
         k['interpret'] = True
         return orig_call(*a, **k)
 
-    mp._build_call.cache_clear()
+    mp._clear_kernel_caches()
     with mock.patch.object(mp.pl, 'pallas_call', interp_call):
         got = np.asarray(mp.msda_pallas(value, tuple(shapes), loc, weights))
-    mp._build_call.cache_clear()
+    mp._clear_kernel_caches()
     want = np.asarray(msda_xla(value, shapes, loc, weights))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
@@ -125,8 +125,9 @@ def test_msda_onehot_matches_oracle():
 
 
 def test_msda_pallas_custom_vjp_gradients():
-    """msda_pallas's custom_vjp (interpret-mode fwd + onehot bwd) must match
-    the gather oracle's gradients."""
+    """msda_pallas's custom_vjp (interpret-mode fwd + Pallas bwd kernels:
+    S^T-matmul d_value, recompute d_wa/d_bw) must match the gather oracle's
+    gradients."""
     import jax
     from unittest import mock
     from jax.experimental import pallas as pl
@@ -149,15 +150,19 @@ def test_msda_pallas_custom_vjp_gradients():
     # fixed cotangent: a squared-loss cotangent would amplify the bf16
     # forward difference through the (large) loc jacobian
     ct = jnp.asarray(rng.randn(b, q, c).astype(np.float32))
-    mp._build_call.cache_clear()
+    mp._clear_kernel_caches()
     with mock.patch.object(mp.pl, 'pallas_call', interp_call):
         _, vjp1 = jax.vjp(lambda v, l, w: mp.msda_pallas(v, shapes, l, w),
                           value, loc, weights)
         g1 = vjp1(ct)
-    mp._build_call.cache_clear()
+    mp._clear_kernel_caches()
     _, vjp2 = jax.vjp(lambda v, l, w: msda_xla(v, shapes, l, w),
                       value, loc, weights)
     g2 = vjp2(ct)
     for a, bb in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
-                                   rtol=2e-2, atol=2e-2)
+        bb = np.asarray(bb)
+        # atol scaled to tensor magnitude: the kernels stage bf16 on the MXU
+        # (the training dtype), so per-element error is relative to the
+        # tensor's scale, not absolute (d_loc spans ~±25 here).
+        np.testing.assert_allclose(np.asarray(a), bb, rtol=2e-2,
+                                   atol=2e-2 + 2e-3 * np.abs(bb).max())

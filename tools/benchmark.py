@@ -68,9 +68,10 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), state=tstate,
                                     **kwargs)
 
+    # all inputs are jit ARGUMENTS — closure-captured constants corrupt
+    # pallas custom-call programs on this TPU runtime (CLAUDE.md)
     @jax.jit
-    def step(variables, tstate, images):
-        kw = dict(kwargs, images=images)
+    def step(variables, tstate, kw):
         out = model.apply(variables, state=tstate, **kw)
         dets = decode_detections(out['all_cls_scores'][-1],
                                  out['all_bbox_preds'][-1],
@@ -79,11 +80,11 @@ def main():
 
     import numpy as np
     for _ in range(args.warmup):
-        dets, tstate = step(variables, tstate, kwargs['images'])
+        dets, tstate = step(variables, tstate, kwargs)
     float(np.asarray(dets['scores']).ravel()[0])
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        dets, tstate = step(variables, tstate, kwargs['images'])
+        dets, tstate = step(variables, tstate, kwargs)
     float(np.asarray(dets['scores']).ravel()[0])
     dt = time.perf_counter() - t0
     fps = args.iters * b / dt
