@@ -81,7 +81,12 @@ class Yolox2DConfig:
     threshold_score: float = 0.1      # proposal score threshold (yolox_head.py:151)
     # STATIC proposal budget replacing the reference's dynamic thresholding:
     # per-sample top-K over all cams x levels, masked by (score > threshold).
-    num_proposals_2d: int = 128
+    # K chosen from the synthetic recall-vs-K curve (tools/eval_recall.py
+    # --synthetic, docs/PARITY.md): at a stress density of 280 GT peaks/frame
+    # with 2x false positives, K=128 clips GT-peak recall to 0.46 while
+    # K=256 reaches 0.78 (K=384: 0.86); typical AV2 frames (<= ~200 visible
+    # 2D GTs across 7 cams) fit entirely within 256.
+    num_proposals_2d: int = 256
     # SimOTA assigner knobs (mmdet SimOTAAssigner, far3d.py:63)
     center_radius: float = 2.5
     candidate_topk: int = 10
@@ -147,9 +152,18 @@ class HeadConfig:
     code_size: int = 8
     code_weights: Tuple[float, ...] = (1.0,) * 8
     # --- denoising (static-shape translation of farhead.py:315-429) ---
+    # Static translation of the reference's groups = min(10, 600 // num_gt)
+    # (farhead.py:333-334, scalar=10 / query_num_dn=600 in far3d.py:83-89):
+    # 10 groups x 20 GT slots x 3 samples = 600 slots (same budget as round
+    # 1's 4 x 48 x 3 = 576). For frames with <= 20 GTs this supervises
+    # EXACTLY the reference sample set (10 groups, all GTs); only very dense
+    # frames (> 20 GTs, where the reference balloons to up to 1800 DN
+    # queries) are clipped to the first 20 GTs. Round 1's 4 x 48 gave sparse
+    # frames 4 groups where the reference gives 10 — measurably fewer DN
+    # samples at typical densities.
     with_dn: bool = True
-    dn_groups: int = 4              # static group count (ref: min(10, 600//max_gt))
-    dn_max_gt: int = 48             # static GT budget per group
+    dn_groups: int = 10             # static group count
+    dn_max_gt: int = 20             # static GT budget per group
     num_smp_per_gt: int = 3         # 1 positive + 2 negatives
     dn_noise_scale: float = 1.0
     dn_noise_trans: float = 0.0
@@ -190,6 +204,10 @@ class DataConfig:
 class TrainConfig:
     lr: float = 2e-4
     backbone_lr_mult: float = 0.1
+    # layer-wise LR decay (reference LearningRateDecayOptimizerConstructor,
+    # layer_decay_optimizer_constructor.py:81-146; 1.0 = disabled, matching
+    # the shipped config which registers but does not use it)
+    layer_decay: float = 1.0
     weight_decay: float = 0.01
     grad_clip_norm: float = 35.0
     warmup_iters: int = 500
@@ -228,6 +246,51 @@ class Far3DConfig:
 
     def replace(self, **kw) -> 'Far3DConfig':
         return dataclasses.replace(self, **kw)
+
+
+def apply_overrides(cfg: Far3DConfig, overrides: Sequence[str]) -> Far3DConfig:
+    """Dotted-path config overrides — the `--cfg-options` equivalent
+    (reference tools/train.py:64-73 DictAction deep-merge).
+
+    Each override is 'a.b.c=value'; value is parsed as a Python literal when
+    possible (ints, floats, bools, tuples), else kept as a string. Nested
+    dataclasses are rebuilt immutably. Unknown fields raise with the set of
+    valid names.
+    """
+    import ast
+
+    def set_path(node, path, value):
+        field = path[0]
+        names = {f.name for f in dataclasses.fields(node)}
+        if field not in names:
+            raise KeyError(
+                f'unknown config field {field!r} on {type(node).__name__}; '
+                f'valid: {sorted(names)}')
+        if len(path) == 1:
+            old = getattr(node, field)
+            if old is not None and not isinstance(old, (str, type(None))) \
+                    and isinstance(value, str):
+                raise TypeError(
+                    f'{".".join(path)}: could not parse {value!r} as a '
+                    f'literal for field of type {type(old).__name__}')
+            if isinstance(old, tuple) and isinstance(value, list):
+                value = tuple(value)
+            if isinstance(old, float) and isinstance(value, int):
+                value = float(value)
+            return dataclasses.replace(node, **{field: value})
+        return dataclasses.replace(
+            node, **{field: set_path(getattr(node, field), path[1:], value)})
+
+    for ov in overrides or ():
+        if '=' not in ov:
+            raise ValueError(f'override must be key=value, got {ov!r}')
+        key, raw = ov.split('=', 1)
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        cfg = set_path(cfg, key.strip().split('.'), value)
+    return cfg
 
 
 def tiny_test_config() -> Far3DConfig:

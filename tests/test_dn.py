@@ -45,6 +45,38 @@ def test_dn_shapes_and_masks():
     assert float(dn['num_tgt']) == cfg.dn_groups * 3
 
 
+def test_dn_budget_matches_reference_at_typical_density():
+    """The shipped static budget (10 groups x 20 GT slots x 3) supervises
+    exactly the reference's DN sample set — groups = min(10, 600 // num_gt)
+    (farhead.py:333-334, far3d.py:83 scalar=10 / farhead.py:79
+    query_num_dn=600) — for every frame with <= dn_max_gt GTs; denser frames
+    clip to the first dn_max_gt GTs (documented in PARITY.md)."""
+    from far3d_tpu.config import HeadConfig
+    cfg = HeadConfig()
+    assert cfg.dn_groups == 10 and cfg.dn_max_gt == 20
+    for num_gt in (1, 3, 10, 20):
+        ref_groups = min(10, 600 // num_gt)
+        ref_samples = ref_groups * num_gt * cfg.num_smp_per_gt
+        ours = cfg.dn_groups * min(num_gt, cfg.dn_max_gt) * cfg.num_smp_per_gt
+        assert ours == ref_samples, (num_gt, ours, ref_samples)
+
+    # and the actual builder produces that many valid slots at full config
+    from far3d_tpu.config import PC_RANGE
+    rng = np.random.RandomState(2)
+    g_slots, n_gt = 160, 15
+    boxes = np.zeros((1, g_slots, 7), np.float32)
+    boxes[0, :, :3] = rng.uniform(-100, 100, (g_slots, 3))
+    boxes[0, :, 3:6] = rng.uniform(0.5, 4, (g_slots, 3))
+    labels = rng.randint(0, cfg.num_classes, (1, g_slots))
+    mask = np.zeros((1, g_slots), bool)
+    mask[0, :n_gt] = True
+    dn = jax.jit(lambda k: build_dn_queries(
+        k, jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(mask), cfg,
+        PC_RANGE))(jax.random.PRNGKey(3))
+    assert int(dn['valid'].sum()) == cfg.dn_groups * n_gt * cfg.num_smp_per_gt
+    assert float(dn['num_tgt']) == cfg.dn_groups * n_gt
+
+
 def test_dn_positive_noise_scale():
     """Positive samples stay within size/2 of the GT center; negative noise is
     log-range-modulated so it grows with distance (farhead.py:344-361)."""

@@ -68,6 +68,50 @@ def test_select_proposals_matches_threshold_filter():
             assert abs(s - weights[(int(c), int(f))]) < 1e-5
 
 
+def test_proposal_budget_covers_realistic_density():
+    """At a realistic dense-frame density (~200 visible 2D GTs across 7
+    cams), the shipped K=256 budget selects EVERY thresholded local-max peak
+    — i.e. it is equivalent to the reference's unbounded filter
+    (yolox_head.py:437-458) — while round 1's K=128 provably clips.
+    Curve: tools/eval_recall.py --synthetic (docs/PARITY.md)."""
+    from far3d_tpu.config import Far3DConfig
+    cfg = Far3DConfig()
+    k = cfg.roi2d.num_proposals_2d
+    assert k >= 256
+
+    rng = np.random.default_rng(4)
+    n_cams = 7
+    hw = [(20, 30), (10, 15)]
+    strides = (8, 16)
+    n_peaks = 200
+    outs = {
+        'cls_scores': [jnp.full((n_cams, h, w, 1), -20.0) for h, w in hw],
+        'objectnesses': [jnp.full((n_cams, h, w, 1), 20.0) for h, w in hw],
+        'bbox_preds': [jnp.zeros((n_cams, h, w, 4)) for h, w in hw],
+    }
+    # paint isolated peaks on a coarse lattice so the 3x3 local-max keeps all
+    placed = set()
+    planes = [np.array(outs['cls_scores'][0]),
+              np.array(outs['cls_scores'][1])]
+    while len(placed) < n_peaks:
+        ci = int(rng.integers(n_cams))
+        li = int(rng.integers(2))
+        h, w = hw[li]
+        y = int(rng.integers(1, (h - 1) // 2)) * 2
+        x = int(rng.integers(1, (w - 1) // 2)) * 2
+        if (ci, li, y, x) in placed:
+            continue
+        placed.add((ci, li, y, x))
+        s = float(rng.uniform(0.2, 0.99))
+        planes[li][ci, y, x, 0] = np.log(s / (1 - s))
+    outs['cls_scores'] = [jnp.asarray(p) for p in planes]
+
+    sel = select_proposals(outs, 1, n_cams, strides, k, 0.1)
+    n_valid = int(np.asarray(sel['valid'][0]).sum())
+    assert n_valid == n_peaks
+    assert n_peaks > 128     # the round-1 budget would have clipped this
+
+
 def test_attn_mask_dn_group_isolation():
     pad, gs, nq, k2d, nprop, mem = 12, 6, 4, 3, 2, 5
     pv = jnp.asarray([[True, False, True]])
