@@ -80,19 +80,23 @@ class EvalLoader:
     (reference: custom_multi_gpu_test, core/apis/test.py:45-113)."""
 
     def __init__(self, dataset: AV2SequenceDataset, cfg: Far3DConfig,
-                 rank: int = 0, world_size: int = 1, prefetch: int = 4):
+                 rank: int = 0, world_size: int = 1, prefetch: int = 4,
+                 max_frames=None):
         self.dataset = dataset
         self.cfg = cfg
         self.sampler = EvalShardSampler(len(dataset), rank, world_size)
-        self.pad = self.sampler.pad
+        n = len(self.sampler)
+        self._limit = n if max_frames is None else min(max_frames, n)
+        # padded tail repeats only survive a cap that reaches into them
+        self.pad = max(0, self.sampler.pad - (n - self._limit))
         self._prefetch = prefetch
 
     def __len__(self):
-        return len(self.sampler)
+        return self._limit
 
     def __iter__(self):
         pool = ThreadPoolExecutor(max_workers=4)
-        indices = list(self.sampler)
+        indices = list(self.sampler)[:self._limit]
 
         def load(idx):
             rec = self.dataset.get_frame(idx)

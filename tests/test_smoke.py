@@ -95,3 +95,36 @@ def test_scene_reset_equals_fresh_state(setup):
     np.testing.assert_allclose(np.asarray(o1['all_bbox_preds']),
                                np.asarray(o2['all_bbox_preds']),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_config_overrides_roundtrip():
+    """--set style dotted overrides (reference --cfg-options,
+    tools/train.py:64-73): literals parsed, nesting rebuilt immutably,
+    unknown keys rejected."""
+    import pytest
+    from far3d_tpu.config import Far3DConfig, apply_overrides
+
+    cfg = Far3DConfig()
+    out = apply_overrides(cfg, [
+        'head.dn_groups=8',
+        'train.lr=1e-4',
+        'roi2d.num_proposals_2d=128',
+        'backbone.remat=False',
+        'data.input_hw=(320, 480)',
+        'train.dtype=float32',
+    ])
+    assert out.head.dn_groups == 8
+    assert out.train.lr == 1e-4
+    assert out.roi2d.num_proposals_2d == 128
+    assert out.backbone.remat is False
+    assert out.data.input_hw == (320, 480)
+    assert out.train.dtype == 'float32'
+    # original untouched (frozen dataclasses)
+    assert cfg.head.dn_groups == 10 and cfg.train.lr == 2e-4
+
+    with pytest.raises(KeyError):
+        apply_overrides(cfg, ['head.not_a_field=1'])
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ['head.dn_groups'])
+    with pytest.raises(TypeError):
+        apply_overrides(cfg, ['train.lr=not_a_number'])

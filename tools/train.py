@@ -28,10 +28,20 @@ def main():
                    help='torch checkpoint to convert & load (e.g. the FCOS3D '
                         'VoVNet backbone pretrain, far3d.py:284)')
     p.add_argument('--profile-at', type=int, default=None)
+    p.add_argument('--set', dest='overrides', action='append', default=[],
+                   metavar='KEY=VALUE',
+                   help='config override, e.g. --set head.dn_groups=8 '
+                        '--set train.lr=1e-4 (reference --cfg-options)')
+    p.add_argument('--val-ann-file', default=None,
+                   help='val info pkl; enables eval-during-training every '
+                        'checkpoint interval (reference CustomDistEvalHook, '
+                        'eval_hooks.py:29-91)')
+    p.add_argument('--eval-samples', type=int, default=None,
+                   help='cap val frames per in-training eval')
     args = p.parse_args()
 
     import jax
-    from far3d_tpu.config import Far3DConfig
+    from far3d_tpu.config import Far3DConfig, apply_overrides
     from far3d_tpu.data.av2_dataset import AV2SequenceDataset
     from far3d_tpu.data.loader import TrainLoader
     from far3d_tpu.parallel.mesh import init_distributed
@@ -43,6 +53,7 @@ def main():
     import dataclasses
     cfg = Far3DConfig()
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, seed=args.seed))
+    cfg = apply_overrides(cfg, args.overrides)
 
     rank = jax.process_index()
     world = jax.process_count()
@@ -54,9 +65,51 @@ def main():
                          seed=args.seed)
     Path(args.work_dir).mkdir(parents=True, exist_ok=True)
 
+    eval_fn = None
+    if args.val_ann_file:
+        eval_fn = build_eval_fn(cfg, args.val_ann_file, args.data_root,
+                                args.work_dir, rank, world,
+                                max_frames=args.eval_samples)
+
     run_training(cfg, loader, args.work_dir, batch,
                  resume=not args.no_resume, max_iters=args.max_iters,
-                 profile_at=args.profile_at, load_from=args.load_from)
+                 profile_at=args.profile_at, load_from=args.load_from,
+                 eval_fn=eval_fn)
+
+
+def build_eval_fn(cfg, val_ann, data_root, work_dir, rank, world,
+                  max_frames=None):
+    """Eval-during-training (reference CustomDistEvalHook._do_evaluate,
+    core/evaluation/eval_hooks.py:54-91): stream the rank's val shard through
+    the current params, rank 0 computes + logs AV2 metrics."""
+    import json
+    import numpy as np
+    from far3d_tpu.data.av2_dataset import AV2SequenceDataset
+    from far3d_tpu.data.loader import EvalLoader
+    from far3d_tpu.eval.runner import collect_and_evaluate, run_inference
+
+    val_ds = AV2SequenceDataset(val_ann, data_root, split='val',
+                                test_mode=True,
+                                seq_split_num=1)
+    loader = EvalLoader(val_ds, cfg, rank=rank, world_size=world,
+                        max_frames=max_frames)
+    log = logging.getLogger('far3d_tpu.eval')
+
+    def eval_fn(state):
+        variables = {'params': state.params, 'stats': state.stats,
+                     'batch_stats': state.batch_stats}
+        results = run_inference(cfg, variables, loader)
+        out = collect_and_evaluate(
+            cfg, val_ds, f'{work_dir}/eval_step{int(state.step)}', rank,
+            world, results)
+        if out is not None:
+            _, means = out
+            m = {k: float(np.asarray(v)) for k, v in means.items()}
+            log.info('eval @ step %d: %s', int(state.step), m)
+            with open(f'{work_dir}/eval_metrics.jsonl', 'a') as f:
+                f.write(json.dumps({'step': int(state.step), **m}) + '\n')
+
+    return eval_fn
 
 
 if __name__ == '__main__':
