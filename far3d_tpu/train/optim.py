@@ -46,7 +46,8 @@ def _label_params(params: Any) -> Any:
         lambda path, _: label_path(path), params)
 
 
-def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformation:
+def make_optimizer(cfg: TrainConfig, params: Any,
+                   backbone_depth: int = 4) -> optax.GradientTransformation:
     sched = lr_schedule(cfg)
 
     def adamw(lr_mult: float):
@@ -56,10 +57,27 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
             optax.scale_by_learning_rate(
                 lambda step: sched(step) * lr_mult))
 
-    tx = optax.multi_transform(
-        {'main': adamw(1.0), 'backbone': adamw(cfg.backbone_lr_mult),
-         'frozen': optax.set_to_zero()},
-        _label_params(params))
+    if cfg.layer_decay != 1.0:
+        # layer-wise LR decay (reference LearningRateDecayOptimizerConstructor
+        # semantics, layer_decay_optimizer_constructor.py:81-146): depth d of
+        # num_layers gets lr * decay^(num_layers - d); composes with the
+        # backbone lr mult by replacing it (the reference uses one or the
+        # other, far3d.py:263-266 vs the constructor).
+        n = backbone_depth
+        labels = make_layerwise_decay_labels(params, n)
+        txs = {f'layer_{i}': adamw(cfg.layer_decay ** (n - i))
+               for i in range(n + 1)}
+        # frozen params override their depth label
+        frozen = _label_params(params)
+        labels = jax.tree_util.tree_map(
+            lambda lab, f: 'frozen' if f == 'frozen' else lab, labels, frozen)
+        txs['frozen'] = optax.set_to_zero()
+        tx = optax.multi_transform(txs, labels)
+    else:
+        tx = optax.multi_transform(
+            {'main': adamw(1.0), 'backbone': adamw(cfg.backbone_lr_mult),
+             'frozen': optax.set_to_zero()},
+            _label_params(params))
     return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
 
 
@@ -82,28 +100,7 @@ def make_layerwise_decay_labels(params: Any, num_layers: int,
     return jax.tree_util.tree_map_with_path(label_path, params)
 
 
-class DynamicLossScale:
-    """fp16 dynamic loss scaling (reference: WarmupFp16OptimizerHook,
-    models/utils/warmup_fp16_optimizer.py:18-134). Not needed for the default
-    bf16 recipe; provided for fp16 experiments.
-
-    Usage: scale loss by `.scale` before grad; call `update(grads_finite)`
-    after each step; skip the optimizer update when grads are non-finite."""
-
-    def __init__(self, init_scale: float = 2.0 ** 15, growth_interval: int =
-                 2000, factor: float = 2.0):
-        self.scale = init_scale
-        self.growth_interval = growth_interval
-        self.factor = factor
-        self._good_steps = 0
-
-    def update(self, grads_finite: bool):
-        if grads_finite:
-            self._good_steps += 1
-            if self._good_steps >= self.growth_interval:
-                self.scale *= self.factor
-                self._good_steps = 0
-        else:
-            self.scale = max(self.scale / self.factor, 1.0)
-            self._good_steps = 0
-        return grads_finite
+# NOTE: the reference's dynamic fp16 loss scaler (WarmupFp16OptimizerHook,
+# warmup_fp16_optimizer.py:18-134) has no equivalent here BY DESIGN: the TPU
+# recipe is bf16 compute with f32 params/optimizer state, which has the fp32
+# exponent range and needs no loss scaling (documented in PARITY.md).
