@@ -12,9 +12,13 @@ official metric math is reimplemented:
   * VOC-interpolated AP over 100 recall samples
   * CDS = mAP * mean(1 - err / norm), norms (2.0 m, 1.0, pi)
 
-Difference vs the reference: no HD-map ROI masking
-(av2_eval_util.py:158-176 needs rasterized maps + the devkit); GT filtering
-uses num_interior_pts > 0 and the range gate only.
+HD-map ROI masking (av2_eval_util.py:158-176 `load_mapped_avm_and_egoposes` +
+the per-sweep ROI gate) is supported through the `roi_masks` argument of
+`evaluate_detections`: a per-log (or per-sweep) `RasterROI` — a rasterized
+drivable-area grid in the same frame as the boxes — gates which detections
+and GTs count as evaluated, exactly where the reference applies its
+rasterized static-map test. Without `roi_masks`, GT filtering falls back to
+num_interior_pts > 0 and the range gate (documented deviation, PARITY.md).
 """
 
 from __future__ import annotations
@@ -48,6 +52,32 @@ class DetectionConfig:
                            MAX_YAW_RAD_ERROR])
 
 
+@dataclasses.dataclass(frozen=True)
+class RasterROI:
+    """Rasterized region-of-interest mask (the reference's rasterized HD-map
+    drivable area, av2_eval_util.py:158-318 ArgoverseStaticMapRemote).
+
+    grid[r, c] is True where the cell is inside the ROI; the cell of a point
+    (x, y) is ((y - origin[1]) // resolution, (x - origin[0]) // resolution).
+    Points outside the grid are outside the ROI.
+    """
+    grid: np.ndarray                 # (H, W) bool
+    origin_xy: Tuple[float, float]   # world coords of grid[0, 0]
+    resolution_m: float = 0.5
+
+    def contains(self, xy: np.ndarray) -> np.ndarray:
+        xy = np.asarray(xy, np.float64).reshape(-1, 2)
+        col = np.floor((xy[:, 0] - self.origin_xy[0])
+                       / self.resolution_m).astype(np.int64)
+        row = np.floor((xy[:, 1] - self.origin_xy[1])
+                       / self.resolution_m).astype(np.int64)
+        h, w = self.grid.shape
+        ok = (row >= 0) & (row < h) & (col >= 0) & (col < w)
+        out = np.zeros(len(xy), bool)
+        out[ok] = self.grid[row[ok], col[ok]]
+        return out
+
+
 def wrap_angles(angles: np.ndarray, period: float = np.pi) -> np.ndarray:
     """av2.geometry.geometry.wrap_angles: |angle| reflected into [0, pi]."""
     angles = np.abs(np.asarray(angles, np.float64))
@@ -64,7 +94,8 @@ def iou_3d_axis_aligned(dims_a: np.ndarray, dims_b: np.ndarray) -> np.ndarray:
 
 
 def accumulate_sweep(dts: np.ndarray, gts: np.ndarray,
-                     cfg: DetectionConfig):
+                     cfg: DetectionConfig,
+                     roi: Optional[RasterROI] = None):
     """One (log, timestamp, category) sweep (av2_utils.py:70-157).
 
     dts: (N, 11) rows [tx,ty,tz,l,w,h,yaw, vx,vy? no] — here rows are
@@ -85,6 +116,8 @@ def accumulate_sweep(dts: np.ndarray, gts: np.ndarray,
         return (r > lo) & (r < hi)
 
     ev_dts = in_range(dts) if n else np.zeros(0, bool)
+    if roi is not None and n:
+        ev_dts &= roi.contains(dts[:, :2])     # HD-map ROI gate
     # cap to max dts per category (score-ordered cumulative)
     if n:
         cum = np.cumsum(ev_dts)
@@ -92,6 +125,8 @@ def accumulate_sweep(dts: np.ndarray, gts: np.ndarray,
         if len(over):
             ev_dts[over[0]:] = False
     ev_gts = (in_range(gts) & (gts[:, 7] > 0)) if m else np.zeros(0, bool)
+    if roi is not None and m:
+        ev_gts &= roi.contains(gts[:, :2])
 
     dts_aug = np.zeros((n, t + 4))
     gts_aug = np.zeros((m, t + 4))
@@ -130,13 +165,18 @@ def accumulate_sweep(dts: np.ndarray, gts: np.ndarray,
 
 def evaluate_detections(detections: Sequence[Dict],
                         annotations: Sequence[Dict],
-                        cfg: Optional[DetectionConfig] = None):
+                        cfg: Optional[DetectionConfig] = None,
+                        roi_masks: Optional[Dict] = None):
     """Full evaluation (av2_eval_util.py:60-156 + summarize_metrics).
 
     detections: per-frame dicts with keys log_id, timestamp_ns,
         boxes (N, 7) [tx,ty,tz(gravity),l,w,h,yaw], scores (N,), labels (N,).
     annotations: per-frame dicts with keys log_id, timestamp_ns,
         boxes (M, 7), labels (M,), num_interior_pts (M,).
+    roi_masks: optional {log_id: RasterROI} or {(log_id, timestamp_ns):
+        RasterROI} — HD-map ROI gating as in av2_eval_util.py:158-176; boxes
+        outside the raster are excluded from both dts and gts. Sweeps with no
+        entry fall back to the range-only gate.
 
     Returns (summary dict per category, means dict with mAP/ATE/ASE/AOE/CDS).
     """
@@ -172,7 +212,10 @@ def evaluate_detections(detections: Sequence[Dict],
             else np.zeros((0, 8))
         g = np.concatenate(per_key_gts[key], axis=0) if key in per_key_gts \
             else np.zeros((0, 8))
-        daug, gaug, dscores = accumulate_sweep(d, g, cfg)
+        roi = None
+        if roi_masks is not None:
+            roi = roi_masks.get((log_id, ts), roi_masks.get(log_id))
+        daug, gaug, dscores = accumulate_sweep(d, g, cfg, roi)
         cat_dts[c].append((dscores, daug))
         cat_gts_evaluated[c] += int(gaug[:, -1].sum())
 

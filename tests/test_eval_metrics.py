@@ -65,3 +65,45 @@ def test_iou_axis_aligned():
     np.testing.assert_allclose(iou_3d_axis_aligned(a, a), [1.0])
     b = np.array([[1.0, 2, 2]])
     np.testing.assert_allclose(iou_3d_axis_aligned(a, b), [0.5])
+
+
+def test_roi_masking_gates_dts_and_gts():
+    """HD-map ROI masking (av2_eval_util.py:158-176): detections and GTs
+    outside the rasterized drivable area are excluded from evaluation."""
+    from far3d_tpu.eval.av2_metrics import (DetectionConfig, RasterROI,
+                                            evaluate_detections)
+
+    # ROI = the half-plane x >= 0 (50x100 cells, 1 m resolution, origin at
+    # (-50, -50)); everything with x < 0 is off-map
+    grid = np.zeros((100, 100), bool)
+    grid[:, 50:] = True
+    roi = RasterROI(grid=grid, origin_xy=(-50.0, -50.0), resolution_m=1.0)
+    assert roi.contains(np.asarray([[10.0, 0.0]]))[0]
+    assert not roi.contains(np.asarray([[-10.0, 0.0]]))[0]
+    assert not roi.contains(np.asarray([[999.0, 0.0]]))[0]   # off-grid
+
+    box = lambda x: [x, 0.0, 1.0, 4.0, 2.0, 1.5, 0.0]
+    # two GTs inside the ROI, one outside; detections match the inside GTs
+    # exactly and add one false positive OUTSIDE the ROI
+    ann = [dict(log_id='log0', timestamp_ns=0,
+                boxes=np.asarray([box(10.0), box(20.0), box(-10.0)]),
+                labels=np.asarray([0, 0, 0]),
+                num_interior_pts=np.ones(3))]
+    det = [dict(log_id='log0', timestamp_ns=0,
+                boxes=np.asarray([box(10.0), box(20.0), box(-20.0)]),
+                scores=np.asarray([0.9, 0.8, 0.95]),
+                labels=np.asarray([0, 0, 0]))]
+    cfg = DetectionConfig(categories=('ARTICULATED_BUS',))
+
+    # with the ROI: the outside GT and outside FP vanish -> perfect AP
+    summary, means = evaluate_detections(det, ann, cfg,
+                                         roi_masks={'log0': roi})
+    s = summary['ARTICULATED_BUS']
+    assert s['num_gts'] == 2
+    assert s['AP'] > 0.99, s
+
+    # without: 3 GTs (one unmatched) and a high-scoring FP hurt AP
+    summary2, _ = evaluate_detections(det, ann, cfg)
+    s2 = summary2['ARTICULATED_BUS']
+    assert s2['num_gts'] == 3
+    assert s2['AP'] < s['AP']
