@@ -61,6 +61,67 @@ def init_state(batch: int, cfg: HeadConfig, dtype=jnp.float32) -> TemporalState:
     )
 
 
+def pre_update_memory_fn(state: TemporalState, prev_exists, timestamp,
+                         ego_pose_inv, pseudo_ref, num_propagated: int,
+                         pc_range) -> TemporalState:
+    """farhead.py:453-477 — align memory into the current ego frame, zero it
+    on scene change, seed pseudo reference points on fresh streams. Shared by
+    FarHead and the StreamPETR dense head (the memory queue is StreamPETR
+    machinery that Far3D inherited)."""
+    b = prev_exists.shape[0]
+    x = prev_exists.reshape(b, 1, 1).astype(state.embedding.dtype)
+    ts = state.timestamp + timestamp.reshape(b, 1, 1)
+    ego = jnp.einsum('bij,bmjk->bmik', ego_pose_inv, state.egopose)
+    ref = transform_points(state.ref_points, ego_pose_inv)
+    ts = ts * x
+    ref = ref * x
+    emb = state.embedding * x
+    ego = ego * x.reshape(b, 1, 1, 1)
+    velo = state.velo * x
+    if num_propagated > 0:
+        fresh = (1.0 - x)
+        pseudo = denormalize_from_pc_range(pseudo_ref, pc_range)
+        ref = ref.at[:, :num_propagated].add(fresh * pseudo[None])
+        eye = jnp.eye(4, dtype=ego.dtype)
+        ego = ego.at[:, :num_propagated].add(
+            fresh.reshape(b, 1, 1, 1) * eye)
+    return TemporalState(emb, ref, ts, ego, velo)
+
+
+def post_update_memory_fn(state: TemporalState, cls_scores, bbox_preds,
+                          out_dec_last, query_valid, timestamp, ego_pose,
+                          topk_proposals: int, memory_len: int
+                          ) -> TemporalState:
+    """farhead.py:479-508 — prepend the top-k scored queries, re-express in
+    the global frame. Inputs exclude DN queries."""
+    score = jax.nn.sigmoid(cls_scores).max(axis=-1)         # (B, Q)
+    score = jnp.where(query_valid, score, -1.0)
+    _, top_idx = jax.lax.top_k(score, topk_proposals)       # (B, k)
+
+    def take(a):
+        return jnp.take_along_axis(
+            a, top_idx.reshape(*top_idx.shape, *([1] * (a.ndim - 2))),
+            axis=1)
+
+    rec_ref = jax.lax.stop_gradient(take(bbox_preds[..., :3]))
+    rec_velo = jax.lax.stop_gradient(take(bbox_preds[..., -2:]))
+    rec_emb = jax.lax.stop_gradient(take(out_dec_last))
+    rec_ts = jnp.zeros((*top_idx.shape, 1), state.timestamp.dtype)
+    b = top_idx.shape[0]
+    rec_ego = jnp.broadcast_to(jnp.eye(4, dtype=state.egopose.dtype),
+                               (b, topk_proposals, 4, 4))
+
+    emb = jnp.concatenate([rec_emb, state.embedding], 1)[:, :memory_len]
+    ts = jnp.concatenate([rec_ts, state.timestamp], 1)[:, :memory_len]
+    ego = jnp.concatenate([rec_ego, state.egopose], 1)[:, :memory_len]
+    ref = jnp.concatenate([rec_ref, state.ref_points], 1)[:, :memory_len]
+    velo = jnp.concatenate([rec_velo, state.velo], 1)[:, :memory_len]
+    ref = transform_points(ref, ego_pose)
+    ts = ts - timestamp.reshape(b, 1, 1)
+    ego = jnp.einsum('bij,bmjk->bmik', ego_pose, ego)
+    return TemporalState(emb, ref, ts, ego, velo)
+
+
 def build_query2d_proposals(proposals: Dict[str, jax.Array],
                             depth_probs: jax.Array,
                             feat_flatten: jax.Array,
@@ -206,58 +267,17 @@ class FarHead(nn.Module):
     # ------------------------------------------------------------------
     def pre_update_memory(self, state: TemporalState, prev_exists, timestamp,
                           ego_pose_inv, pseudo_ref) -> TemporalState:
-        """farhead.py:453-477 — align memory into the current ego frame, zero
-        it on scene change, seed pseudo reference points on fresh streams."""
-        b = prev_exists.shape[0]
-        x = prev_exists.reshape(b, 1, 1).astype(state.embedding.dtype)
-        ts = state.timestamp + timestamp.reshape(b, 1, 1)
-        ego = jnp.einsum('bij,bmjk->bmik', ego_pose_inv, state.egopose)
-        ref = transform_points(state.ref_points, ego_pose_inv)
-        ts = ts * x
-        ref = ref * x
-        emb = state.embedding * x
-        ego = ego * x.reshape(b, 1, 1, 1)
-        velo = state.velo * x
-        np_ = self.head.num_propagated
-        if np_ > 0:
-            fresh = (1.0 - x)
-            pseudo = denormalize_from_pc_range(pseudo_ref, self.pc_range)
-            ref = ref.at[:, :np_].add(fresh * pseudo[None])
-            eye = jnp.eye(4, dtype=ego.dtype)
-            ego = ego.at[:, :np_].add(fresh.reshape(b, 1, 1, 1) * eye)
-        return TemporalState(emb, ref, ts, ego, velo)
+        return pre_update_memory_fn(state, prev_exists, timestamp,
+                                    ego_pose_inv, pseudo_ref,
+                                    self.head.num_propagated, self.pc_range)
 
     def post_update_memory(self, state: TemporalState, cls_scores, bbox_preds,
                            out_dec_last, query_valid, timestamp, ego_pose
                            ) -> TemporalState:
-        """farhead.py:479-508 — prepend the top-k scored queries, re-express
-        in the global frame. Inputs exclude DN queries."""
-        c = self.head
-        score = jax.nn.sigmoid(cls_scores).max(axis=-1)         # (B, Q)
-        score = jnp.where(query_valid, score, -1.0)
-        _, top_idx = jax.lax.top_k(score, c.topk_proposals)     # (B, k)
-
-        def take(a):
-            return jnp.take_along_axis(
-                a, top_idx.reshape(*top_idx.shape, *([1] * (a.ndim - 2))), axis=1)
-
-        rec_ref = jax.lax.stop_gradient(take(bbox_preds[..., :3]))
-        rec_velo = jax.lax.stop_gradient(take(bbox_preds[..., -2:]))
-        rec_emb = jax.lax.stop_gradient(take(out_dec_last))
-        rec_ts = jnp.zeros((*top_idx.shape, 1), state.timestamp.dtype)
-        b = top_idx.shape[0]
-        rec_ego = jnp.broadcast_to(jnp.eye(4, dtype=state.egopose.dtype),
-                                   (b, c.topk_proposals, 4, 4))
-
-        emb = jnp.concatenate([rec_emb, state.embedding], 1)[:, :c.memory_len]
-        ts = jnp.concatenate([rec_ts, state.timestamp], 1)[:, :c.memory_len]
-        ego = jnp.concatenate([rec_ego, state.egopose], 1)[:, :c.memory_len]
-        ref = jnp.concatenate([rec_ref, state.ref_points], 1)[:, :c.memory_len]
-        velo = jnp.concatenate([rec_velo, state.velo], 1)[:, :c.memory_len]
-        ref = transform_points(ref, ego_pose)
-        ts = ts - timestamp.reshape(b, 1, 1)
-        ego = jnp.einsum('bij,bmjk->bmik', ego_pose, ego)
-        return TemporalState(emb, ref, ts, ego, velo)
+        return post_update_memory_fn(state, cls_scores, bbox_preds,
+                                     out_dec_last, query_valid, timestamp,
+                                     ego_pose, self.head.topk_proposals,
+                                     self.head.memory_len)
 
     # ------------------------------------------------------------------
     @nn.compact
@@ -363,7 +383,7 @@ class FarHead(nn.Module):
 
         time_embedding = nn.Sequential([
             nn.Dense(c.embed_dims, name='time_fc'),
-            nn.LayerNorm(name='time_ln')])
+            nn.LayerNorm(epsilon=1e-5,name='time_ln')])
         query_pos = query_pos + time_embedding(
             pos2posemb1d(jnp.zeros_like(reference_points[..., :1])))
         temp_pos = temp_pos + time_embedding(pos2posemb1d(state.timestamp))
@@ -392,9 +412,9 @@ class FarHead(nn.Module):
 
         # weight-shared cls/reg branches (farhead.py:228-251)
         cls_branch = nn.Sequential([
-            nn.Dense(c.embed_dims, name='cls_fc0'), nn.LayerNorm(name='cls_ln0'),
+            nn.Dense(c.embed_dims, name='cls_fc0'), nn.LayerNorm(epsilon=1e-5,name='cls_ln0'),
             nn.relu,
-            nn.Dense(c.embed_dims, name='cls_fc1'), nn.LayerNorm(name='cls_ln1'),
+            nn.Dense(c.embed_dims, name='cls_fc1'), nn.LayerNorm(epsilon=1e-5,name='cls_ln1'),
             nn.relu,
             nn.Dense(c.num_classes, name='cls_out',
                      bias_init=nn.initializers.constant(

@@ -1,0 +1,255 @@
+"""StreamPETR: the dense-global-attention streaming detector — the second
+model family (the lineage Far3D builds on; reference petr_transformer.py:330-
+741 PETRTemporalTransformer/DecoderLayer, positional_encoding.py:82-200 PE,
+README.md:49 "nuScenes lives in StreamPETR").
+
+Assembly on top of the shared TPU-native pieces:
+  * backbone + FPN          — models/vovnet.py (any level set)
+  * dense token K/V         — ONE FPN level flattened over all cameras, with
+                              the frustum 3D position embedding (FrustumPE)
+  * temporal memory queue   — the same explicit TemporalState carry as
+                              FarHead (pre/post_update_memory_fn; the queue is
+                              StreamPETR machinery Far3D inherited,
+                              farhead.py:446-508)
+  * decoder                 — PETRTemporalTransformer (dense cross-attention,
+                              fused bf16 dot_product_attention instead of the
+                              reference's flash-attn CUDA ext)
+  * heads                   — weight-shared cls/reg branches + the same
+                              NMS-free decode as Far3D
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import BackboneConfig, NeckConfig
+from ..geometry import (denormalize_from_pc_range, inverse_sigmoid,
+                        nerf_positional_encoding, normalize_to_pc_range,
+                        pos2posemb1d, pos2posemb3d)
+from .farhead import (TemporalState, post_update_memory_fn,
+                      pre_update_memory_fn)
+from .layers import MLN, MLP, bias_init_with_prob
+from .petr import FrustumPE, PETRTemporalTransformer
+from .vovnet import FPN, VoVNet
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPETRConfig:
+    """Knob set of a StreamPETR model (nuScenes-style defaults)."""
+    num_classes: int = 10
+    embed_dims: int = 256
+    num_query: int = 644
+    memory_len: int = 512
+    topk_proposals: int = 128
+    num_propagated: int = 128
+    num_layers: int = 6
+    num_heads: int = 8
+    ffn_dims: int = 2048
+    dropout: float = 0.1
+    with_ego_pos: bool = True
+    code_size: int = 10              # nuScenes code incl. velocity
+    feat_level: int = 1              # FPN level used as dense K/V (stride 16)
+    depth_num: int = 64              # frustum PE depth bins
+    position_range: Tuple[float, ...] = (
+        -61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    max_decode_num: int = 300
+    backbone: BackboneConfig = BackboneConfig()
+    neck: NeckConfig = NeckConfig()
+    input_hw: Tuple[int, int] = (320, 800)
+    num_cams: int = 6
+
+
+class StreamPETRHead(nn.Module):
+    """Dense-attention streaming head (PETRTemporalTransformer consumer)."""
+    cfg: StreamPETRConfig
+    feat_hw: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self,
+                 feats: jax.Array,             # (B*N, H, W, C) one FPN level
+                 lidar2img: jax.Array,         # (B, N, 4, 4)
+                 state: TemporalState,
+                 prev_exists: jax.Array,       # (B,)
+                 timestamp: jax.Array,         # (B,)
+                 ego_pose: jax.Array,          # (B, 4, 4)
+                 ego_pose_inv: jax.Array,      # (B, 4, 4)
+                 deterministic: bool = True) -> Dict[str, Any]:
+        c = self.cfg
+        b, n = lidar2img.shape[:2]
+        h, w = self.feat_hw
+        ch = c.embed_dims
+
+        feats = nn.Conv(ch, (1, 1), dtype=feats.dtype, name='input_proj')(
+            feats)
+        tokens = feats.reshape(b, n * h * w, ch)
+
+        # frustum 3D position embedding over every token
+        # (positional_encoding.py:82-200; LID depths through img2lidar)
+        img2lidar = jnp.linalg.inv(lidar2img.astype(jnp.float32))
+        pos = FrustumPE(ch, c.depth_num,
+                        position_range=c.position_range, name='pe')(
+            (h, w), c.input_hw, img2lidar, dtype=tokens.dtype)
+        tokens_pos = pos.reshape(b, n * h * w, ch)
+
+        # learned global queries + frozen pseudo reference points
+        ref_param = self.param('reference_points',
+                               nn.initializers.uniform(scale=1.0),
+                               (c.num_query, 3))
+        pseudo_ref = self.param('pseudo_reference_points',
+                                nn.initializers.uniform(scale=1.0),
+                                (c.num_propagated, 3))
+        pseudo_ref = jax.lax.stop_gradient(pseudo_ref)
+
+        state = pre_update_memory_fn(state, prev_exists, timestamp,
+                                     ego_pose_inv, pseudo_ref,
+                                     c.num_propagated, c.pc_range)
+
+        reference_points = jnp.broadcast_to(ref_param[None],
+                                            (b, c.num_query, 3))
+        query_embedding = MLP((ch, ch), name='query_embedding')
+        query_pos = query_embedding(pos2posemb3d(reference_points)
+                                    ).astype(tokens.dtype)
+        tgt = jnp.zeros_like(query_pos)
+
+        # temporal alignment (same ego-motion MLNs as farhead.py:284-313)
+        temp_ref_norm = normalize_to_pc_range(state.ref_points, c.pc_range)
+        temp_pos = query_embedding(pos2posemb3d(temp_ref_norm)
+                                   ).astype(tokens.dtype)
+        temp_memory = state.embedding.astype(tokens.dtype)
+        if c.with_ego_pos:
+            ego_pose_pe = MLN(ch, name='ego_pose_pe')
+            ego_pose_memory = MLN(ch, name='ego_pose_memory')
+            rec_motion = jnp.concatenate(
+                [jnp.zeros_like(reference_points[..., :3]),
+                 jnp.broadcast_to(jnp.eye(4)[:3, :].reshape(1, 1, 12),
+                                  (b, c.num_query, 12))], axis=-1)
+            rec_motion = nerf_positional_encoding(
+                rec_motion.astype(tgt.dtype))
+            tgt = ego_pose_memory(tgt, rec_motion)
+            query_pos = ego_pose_pe(query_pos, rec_motion)
+            mem_motion = jnp.concatenate(
+                [state.velo, state.timestamp,
+                 state.egopose[..., :3, :].reshape(b, c.memory_len, 12)],
+                axis=-1)
+            mem_motion = nerf_positional_encoding(
+                mem_motion.astype(tgt.dtype))
+            temp_pos = ego_pose_pe(temp_pos, mem_motion)
+            temp_memory = ego_pose_memory(temp_memory, mem_motion)
+
+        time_embedding = nn.Sequential([
+            nn.Dense(ch, name='time_fc'),
+            nn.LayerNorm(epsilon=1e-5, name='time_ln')])
+        query_pos = query_pos + time_embedding(
+            pos2posemb1d(jnp.zeros_like(reference_points[..., :1]))
+        ).astype(tokens.dtype)
+        temp_pos = temp_pos + time_embedding(
+            pos2posemb1d(state.timestamp)).astype(tokens.dtype)
+
+        reference_full = reference_points
+        np_ = c.num_propagated
+        if np_ > 0:
+            tgt = jnp.concatenate([tgt, temp_memory[:, :np_]], axis=1)
+            query_pos = jnp.concatenate([query_pos, temp_pos[:, :np_]],
+                                        axis=1)
+            reference_full = jnp.concatenate(
+                [reference_points, temp_ref_norm[:, :np_]], axis=1)
+            temp_memory = temp_memory[:, np_:]
+            temp_pos = temp_pos[:, np_:]
+
+        outs_dec = PETRTemporalTransformer(
+            ch, c.num_layers, c.num_heads, c.ffn_dims, c.dropout,
+            name='decoder')(tgt, query_pos, tokens, tokens_pos, temp_memory,
+                            temp_pos, None, deterministic)
+        outs_dec = jnp.nan_to_num(outs_dec.astype(jnp.float32))
+
+        cls_branch = nn.Sequential([
+            nn.Dense(ch, name='cls_fc0'),
+            nn.LayerNorm(epsilon=1e-5, name='cls_ln0'), nn.relu,
+            nn.Dense(ch, name='cls_fc1'),
+            nn.LayerNorm(epsilon=1e-5, name='cls_ln1'), nn.relu,
+            nn.Dense(c.num_classes, name='cls_out',
+                     bias_init=nn.initializers.constant(
+                         bias_init_with_prob(0.01)))])
+        reg_branch = nn.Sequential([
+            nn.Dense(ch, name='reg_fc0'), nn.relu,
+            nn.Dense(ch, name='reg_fc1'), nn.relu,
+            nn.Dense(c.code_size, name='reg_out')])
+
+        all_cls = cls_branch(outs_dec)
+        tmp = reg_branch(outs_dec)
+        ref_logit = inverse_sigmoid(reference_full.astype(jnp.float32))
+        xyz = jax.nn.sigmoid(tmp[..., :3] + ref_logit[None])
+        xyz = denormalize_from_pc_range(xyz, c.pc_range)
+        all_bbox = jnp.concatenate([xyz, tmp[..., 3:]], axis=-1)
+
+        query_valid = jnp.ones(all_cls.shape[1:3], bool)
+        new_state = post_update_memory_fn(
+            state, all_cls[-1], all_bbox[-1], outs_dec[-1], query_valid,
+            timestamp, ego_pose, c.topk_proposals, c.memory_len)
+
+        return {
+            'all_cls_scores': all_cls,
+            'all_bbox_preds': all_bbox,
+            'query_valid': query_valid,
+            'state': new_state,
+        }
+
+
+class StreamPETR(nn.Module):
+    """Full dense streaming detector: backbone -> FPN -> one-level dense
+    tokens -> StreamPETRHead. Second runnable model family."""
+    cfg: StreamPETRConfig
+
+    @nn.compact
+    def __call__(self,
+                 images: jax.Array,            # (B, N, H, W, 3) normalized
+                 lidar2img: jax.Array,
+                 state: TemporalState,
+                 prev_exists: jax.Array,
+                 timestamp: jax.Array,
+                 ego_pose: jax.Array,
+                 ego_pose_inv: jax.Array,
+                 deterministic: bool = True) -> Dict[str, Any]:
+        c = self.cfg
+        b, n, h, w, _ = images.shape
+        x = images.reshape(b * n, h, w, 3)
+        feats = VoVNet(c.backbone, name='backbone')(x)
+        feats = FPN(c.neck, name='neck')(feats)
+        lvl = feats[c.feat_level]
+        fh, fw = lvl.shape[1:3]
+        return StreamPETRHead(c, (fh, fw), name='pts_head')(
+            lvl, lidar2img, state, prev_exists, timestamp, ego_pose,
+            ego_pose_inv, deterministic)
+
+
+def init_petr_state(batch: int, cfg: StreamPETRConfig,
+                    dtype=jnp.float32) -> TemporalState:
+    return TemporalState(
+        embedding=jnp.zeros((batch, cfg.memory_len, cfg.embed_dims), dtype),
+        ref_points=jnp.zeros((batch, cfg.memory_len, 3), dtype),
+        timestamp=jnp.zeros((batch, cfg.memory_len, 1), dtype),
+        egopose=jnp.zeros((batch, cfg.memory_len, 4, 4), dtype),
+        velo=jnp.zeros((batch, cfg.memory_len, 2), dtype),
+    )
+
+
+def tiny_petr_config() -> StreamPETRConfig:
+    """Scaled-down config for CPU tests."""
+    return StreamPETRConfig(
+        num_classes=5, embed_dims=64, num_query=16, memory_len=24,
+        topk_proposals=8, num_propagated=8, num_layers=2, num_heads=4,
+        ffn_dims=128, depth_num=8, code_size=10,
+        position_range=(-12., -12., -2., 12., 12., 6.),
+        pc_range=(-10., -10., 0.5, 10., 10., 5.),
+        backbone=BackboneConfig(
+            stem_channels=(8, 8, 16), stage_conv_channels=(8, 8, 8, 8),
+            stage_out_channels=(16, 24, 32, 48), layers_per_block=2,
+            blocks_per_stage=(1, 1, 1, 1), remat=False),
+        neck=NeckConfig(in_channels=(16, 24, 32, 48), out_channels=64),
+        input_hw=(64, 96), num_cams=2, max_decode_num=12)

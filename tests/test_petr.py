@@ -33,3 +33,72 @@ def test_frustum_pe_shapes():
     out = jax.jit(pe.apply, static_argnums=(1, 2))(
         variables, (8, 12), (64, 96), img2lidar)
     assert out.shape == (b * n, 8 * 12, 32)
+
+
+def test_streampetr_model_end_to_end():
+    """Second model family: full StreamPETR (backbone -> FPN -> dense
+    PETRTemporalTransformer -> shared branches) runs jitted, carries the
+    temporal memory across frames, and resets on prev_exists=0
+    (reference petr_transformer.py:411-741 + the StreamPETR memory queue)."""
+    import jax
+    import numpy as np
+    from far3d_tpu.models.streampetr import (StreamPETR, init_petr_state,
+                                             tiny_petr_config)
+
+    cfg = tiny_petr_config()
+    b, n = 1, cfg.num_cams
+    h, w = cfg.input_hw
+    rng = np.random.RandomState(0)
+    model = StreamPETR(cfg)
+
+    def frame(seed):
+        r = np.random.RandomState(seed)
+        intr = np.eye(4, dtype=np.float32)
+        intr[0, 0] = intr[1, 1] = 40.0
+        intr[0, 2], intr[1, 2] = w / 2, h / 2
+        l2i = np.tile(intr[None, None], (b, n, 1, 1))
+        return dict(
+            images=jnp.asarray(r.randn(b, n, h, w, 3), jnp.float32),
+            lidar2img=jnp.asarray(l2i),
+            timestamp=jnp.zeros((b,)) + 0.1 * seed,
+            ego_pose=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+            ego_pose_inv=jnp.tile(jnp.eye(4)[None], (b, 1, 1)))
+
+    state = init_petr_state(b, cfg)
+    f0 = frame(0)
+    variables = model.init(jax.random.PRNGKey(0), state=state,
+                           prev_exists=jnp.zeros((b,)), **f0)
+
+    @jax.jit
+    def step(variables, state, prev_exists, fr):
+        return model.apply(variables, state=state, prev_exists=prev_exists,
+                           **fr)
+
+    out = step(variables, state, jnp.zeros((b,)), f0)
+    q_total = cfg.num_query + cfg.num_propagated
+    assert out['all_cls_scores'].shape == (
+        cfg.num_layers, b, q_total, cfg.num_classes)
+    assert out['all_bbox_preds'].shape == (cfg.num_layers, b, q_total,
+                                           cfg.code_size)
+    assert np.isfinite(np.asarray(out['all_bbox_preds'])).all()
+
+    # second frame continues the stream: memory embedding must be non-zero
+    # and differ from a fresh-stream (prev_exists=0) run
+    st1 = out['state']
+    assert np.abs(np.asarray(st1.embedding)).max() > 0
+    out_cont = step(variables, st1, jnp.ones((b,)), frame(1))
+    out_reset = step(variables, st1, jnp.zeros((b,)), frame(1))
+    a = np.asarray(out_cont['all_cls_scores'][-1])
+    bb = np.asarray(out_reset['all_cls_scores'][-1])
+    assert np.abs(a - bb).max() > 1e-6  # memory actually feeds the decoder
+
+    # gradient flows end-to-end through the dense path
+    def loss_fn(params):
+        o = model.apply({'params': params, **{k: v for k, v in
+                                              variables.items()
+                                              if k != 'params'}},
+                        state=state, prev_exists=jnp.zeros((b,)), **f0)
+        return jnp.sum(o['all_bbox_preds'] ** 2) * 1e-6
+    g = jax.grad(loss_fn)(variables['params'])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
