@@ -96,6 +96,11 @@ class DeformableAggregation(nn.Module):
         loc = uv / jnp.asarray([pad_w, pad_h], dtype=uv.dtype)
         loc = loc.reshape(b * n, q, c.num_pts, 2)
 
+        # observability for tools/vis_attention.py: no-op unless apply() is
+        # called with mutable=['intermediates'] (disable decoder remat then)
+        self.sow('intermediates', 'sampling_loc', loc)
+        self.sow('intermediates', 'attn_weights', w)
+
         feats = msda(feat_flatten, self.spatial_shapes, loc, w,
                      use_pallas=c.use_pallas)                 # (B*N, Q, C)
         feats = feats.reshape(b, n, q, ch).sum(axis=1)

@@ -116,4 +116,4 @@ def decode_detections(cls_scores: jax.Array, bbox_preds: jax.Array,
     in_range = jnp.all(center >= pcr[:3], -1) & jnp.all(center <= pcr[3:6], -1)
     valid = in_range & (top_scores > 0)
     return {'boxes': boxes, 'scores': top_scores, 'labels': labels,
-            'valid': valid}
+            'valid': valid, 'query_idx': qidx}

@@ -46,7 +46,25 @@ def shard_batch(mesh: Mesh, tree: Any) -> Any:
 
 def init_distributed():
     """Multi-host initialization (replaces torch.distributed.launch / Slurm
-    env plumbing, tools/train.py:74-78). No-op on a single host."""
+    env plumbing: reference tools/multi_dist_train.sh:5-38, slurm_train.sh,
+    tools/train.py:74-78). Returns (process_index, process_count).
+
+    Three launch paths, in priority order:
+      1. Explicit env (set by tools/dist_train.sh):
+         FAR3D_COORDINATOR=host:port  FAR3D_NUM_PROCESSES  FAR3D_PROCESS_ID
+      2. Cluster auto-detection (Cloud TPU pods, Slurm, OpenMPI): any host
+         environment jax.distributed recognizes — triggered when
+         SLURM_NTASKS>1 or JAX_COORDINATOR_ADDRESS is set.
+      3. Single host: no-op.
+    """
     import os
-    if 'JAX_COORDINATOR_ADDRESS' in os.environ:
+    env = os.environ
+    if 'FAR3D_COORDINATOR' in env:
+        jax.distributed.initialize(
+            coordinator_address=env['FAR3D_COORDINATOR'],
+            num_processes=int(env['FAR3D_NUM_PROCESSES']),
+            process_id=int(env['FAR3D_PROCESS_ID']))
+    elif ('JAX_COORDINATOR_ADDRESS' in env
+          or int(env.get('SLURM_NTASKS', '1')) > 1):
         jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()

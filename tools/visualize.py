@@ -16,53 +16,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def box_corners(box7):
-    x, y, z, l, w, h, yaw = box7[:7]
-    dx, dy, dz = l / 2, w / 2, h / 2
-    corners = np.array([[sx * dx, sy * dy, sz * dz]
-                        for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)])
-    c, s = np.cos(yaw), np.sin(yaw)
-    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
-    return corners @ rot.T + np.array([x, y, z])
-
-
-EDGES = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 7), (6, 7),
-         (0, 4), (1, 5), (2, 6), (3, 7)]
-
-
-def draw_boxes_camera(img, boxes, lidar2img, color):
-    import cv2
-    h, w = img.shape[:2]
-    for b in boxes:
-        corners = box_corners(b)
-        pts = np.concatenate([corners, np.ones((8, 1))], 1) @ lidar2img.T
-        if (pts[:, 2] < 0.1).all():
-            continue
-        uv = pts[:, :2] / np.maximum(pts[:, 2:3], 1e-5)
-        for i, j in EDGES:
-            if pts[i, 2] > 0.1 and pts[j, 2] > 0.1:
-                p0 = tuple(np.round(uv[i]).astype(int))
-                p1 = tuple(np.round(uv[j]).astype(int))
-                cv2.line(img, p0, p1, color, 1, cv2.LINE_AA)
-    return img
-
-
-def draw_bev(pred_boxes, gt_boxes, extent=160.0, size=800):
-    import cv2
-    canvas = np.full((size, size, 3), 30, np.uint8)
-    scale = size / (2 * extent)
-
-    def to_px(xy):
-        return (int(size / 2 + xy[0] * scale), int(size / 2 - xy[1] * scale))
-
-    for boxes, color in ((gt_boxes, (80, 200, 80)),
-                         (pred_boxes, (80, 80, 230))):
-        for b in boxes:
-            corners = box_corners(b)[:4, :2][[0, 1, 3, 2]]
-            pts = np.array([to_px(c) for c in corners], np.int32)
-            cv2.polylines(canvas, [pts], True, color, 1, cv2.LINE_AA)
-    cv2.circle(canvas, to_px((0, 0)), 4, (255, 255, 255), -1)
-    return canvas
+from far3d_tpu.utils.vis import draw_bev, draw_boxes_camera  # noqa: E402
 
 
 def main():
