@@ -218,6 +218,9 @@ class TrainConfig:
     grid_mask_prob: float = 0.7
     use_grid_mask: bool = True
     dtype: str = 'bfloat16'         # compute dtype (ref uses fp16+dyn scale)
+    # EMA of params for eval (0 = off, matching the reference; e.g. 0.999
+    # with the standard (1+step)/(10+step) warmup ramp when enabled)
+    ema_decay: float = 0.0
     checkpoint_every: int = 13758
     keep_checkpoints: int = 1
     log_every: int = 50

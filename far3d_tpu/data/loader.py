@@ -80,8 +80,8 @@ class EvalLoader:
     (reference: custom_multi_gpu_test, core/apis/test.py:45-113)."""
 
     def __init__(self, dataset: AV2SequenceDataset, cfg: Far3DConfig,
-                 rank: int = 0, world_size: int = 1, prefetch: int = 4,
-                 max_frames=None):
+                 rank: int = 0, world_size: int = 1, prefetch: int = 8,
+                 num_threads: int = 8, max_frames=None):
         self.dataset = dataset
         self.cfg = cfg
         self.sampler = EvalShardSampler(len(dataset), rank, world_size)
@@ -90,12 +90,13 @@ class EvalLoader:
         # padded tail repeats only survive a cap that reaches into them
         self.pad = max(0, self.sampler.pad - (n - self._limit))
         self._prefetch = prefetch
+        self._num_threads = num_threads
 
     def __len__(self):
         return self._limit
 
     def __iter__(self):
-        pool = ThreadPoolExecutor(max_workers=4)
+        pool = ThreadPoolExecutor(max_workers=self._num_threads)
         indices = list(self.sampler)[:self._limit]
 
         def load(idx):

@@ -25,17 +25,38 @@ from ..train.step import make_infer_step
 from .av2_metrics import DetectionConfig, evaluate_detections, format_summary
 
 
+_BATCH_KEYS = ('images', 'lidar2img', 'intrinsics', 'extrinsics',
+               'timestamp', 'prev_exists', 'ego_pose', 'ego_pose_inv')
+
+
+def _upload_ahead(loader):
+    """Yield (frame, device_batch) with the next frame's host->device
+    transfer overlapped with the current frame's compute (the transfer is
+    the serving bottleneck on thin hosts; images ship uint8)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def up(frame):
+        return frame, {k: jnp.asarray(frame[k])[None] for k in _BATCH_KEYS}
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = None
+    for frame in loader:
+        cur = pool.submit(up, frame)
+        if pending is not None:
+            yield pending.result()
+        pending = cur
+    if pending is not None:
+        yield pending.result()
+    pool.shutdown(wait=False)
+
+
 def run_inference(cfg: Far3DConfig, variables, loader: EvalLoader,
                   score_keep: int = 300) -> List[Dict]:
     """Stream one rank's shard; returns per-frame detection dicts."""
     infer = jax.jit(make_infer_step(cfg))
     tstate = init_state(1, cfg.head)
     results = []
-    for frame in loader:
-        batch = {k: jnp.asarray(v)[None] for k, v in frame.items()
-                 if k in ('images', 'lidar2img', 'intrinsics', 'extrinsics',
-                          'timestamp', 'prev_exists', 'ego_pose',
-                          'ego_pose_inv')}
+    for frame, batch in _upload_ahead(loader):
         dets, tstate = infer(variables, tstate, batch)
         boxes = np.asarray(dets['boxes'][0])
         scores = np.asarray(dets['scores'][0])

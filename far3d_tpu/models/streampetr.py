@@ -218,6 +218,13 @@ class StreamPETR(nn.Module):
                  deterministic: bool = True) -> Dict[str, Any]:
         c = self.cfg
         b, n, h, w, _ = images.shape
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            # uint8 transport; BGR mean/std as the AV2/nuScenes pipelines use
+            from ..config import IMG_MEAN, IMG_STD
+            mean = jnp.asarray(IMG_MEAN, jnp.float32)
+            std = jnp.asarray(IMG_STD, jnp.float32)
+            images = ((images.astype(jnp.float32) - mean) / std).astype(
+                jnp.bfloat16)
         x = images.reshape(b * n, h, w, 3)
         feats = VoVNet(c.backbone, name='backbone')(x)
         feats = FPN(c.neck, name='neck')(feats)

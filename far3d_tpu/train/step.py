@@ -58,6 +58,7 @@ class TrainState(flax.struct.PyTreeNode):
     stats: Any                 # frozen-BN running stats
     batch_stats: Any           # YOLOX-head trainable BN stats
     opt_state: Any
+    ema_params: Any = None     # EMA shadow of params (cfg.train.ema_decay)
 
 
 def create_train_state(cfg: Far3DConfig, rng: jax.Array, batch: int
@@ -80,7 +81,8 @@ def create_train_state(cfg: Far3DConfig, rng: jax.Array, batch: int
         step=jnp.zeros((), jnp.int32), params=params,
         stats=variables.get('stats', {}),
         batch_stats=variables.get('batch_stats', {}),
-        opt_state=tx.init(params)), tstate
+        opt_state=tx.init(params),
+        ema_params=params if cfg.train.ema_decay > 0 else None), tstate
 
 
 def make_train_step(cfg: Far3DConfig, use_gt_depth: bool = True):
@@ -94,6 +96,13 @@ def make_train_step(cfg: Far3DConfig, use_gt_depth: bool = True):
         rng_gm, rng_dn, rng_drop = jax.random.split(
             jax.random.fold_in(rng, state.step), 3)
         images = batch.images
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            # uint8 transport: normalize BEFORE grid-mask so masked cells are
+            # 0.0 post-normalize, matching the reference (GridMask runs on
+            # the normalized image, far3d.py grid_mask usage)
+            mean = jnp.asarray(cfg.data.img_mean, jnp.float32)
+            std = jnp.asarray(cfg.data.img_std, jnp.float32)
+            images = (images.astype(jnp.float32) - mean) / std
         if cfg.train.use_grid_mask:
             images = grid_mask(rng_gm, images, cfg.train.grid_mask_prob)
         # bf16 compute (the reference trains fp16 AMP; params stay f32)
@@ -145,8 +154,16 @@ def make_train_step(cfg: Far3DConfig, use_gt_depth: bool = True):
         metrics = dict(losses)
         metrics['total_loss'] = sum(jax.tree_util.tree_leaves(losses))
         metrics['grad_norm'] = optax.global_norm(grads)
+        new_ema = state.ema_params
+        if new_ema is not None:
+            # decay warmup ramp (torch ExponentialMovingAverage convention)
+            d = jnp.minimum(cfg.train.ema_decay,
+                            (1.0 + state.step) / (10.0 + state.step))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d), new_ema, new_params)
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_bs, opt_state=new_opt)
+                                  batch_stats=new_bs, opt_state=new_opt,
+                                  ema_params=new_ema)
         return new_state, new_tstate, metrics
 
     return train_step

@@ -71,7 +71,10 @@ def draw_bev(pred_boxes: np.ndarray, gt_boxes: np.ndarray,
 
 def denormalize_image(img: np.ndarray, mean: Sequence[float],
                       std: Sequence[float]) -> np.ndarray:
-    """Pipeline-normalized float image -> uint8 BGR for drawing."""
+    """Pipeline image -> uint8 BGR for drawing. The pipeline ships uint8
+    (device-side normalization); normalized float inputs are also accepted."""
+    if img.dtype == np.uint8:
+        return img.copy()
     out = img * np.asarray(std, np.float32) + np.asarray(mean, np.float32)
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 

@@ -139,3 +139,28 @@ def test_eval_shard_sampler():
     assert list(s0) == [0, 1, 2, 3]
     assert list(s1) == [4, 5, 6, 7]
     assert list(s2) == [8, 9, 9, 9] and s2.pad == 2
+
+
+def test_warp_pipeline_matches_resize_crop():
+    """The single-pass warpAffine resampling must reproduce the reference's
+    float-resize-then-crop chain (custom_pipeline.py:71-111) to uint8
+    interpolation rounding."""
+    import cv2
+
+    from far3d_tpu.data.pipeline import _pix_map
+
+    rng = np.random.RandomState(3)
+    h, w, resize = 310, 410, 0.51         # deliberately non-reciprocal scale
+    img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+    dims = (int(w * resize), int(h * resize))
+    fh, fw = 96, 160
+    crop = ((dims[0] - fw) // 2, dims[1] - fh,
+            (dims[0] - fw) // 2 + fw, dims[1])
+    ref = cv2.resize(img.astype(np.float32), dims,
+                     interpolation=cv2.INTER_LINEAR)
+    ref = ref[crop[1]:crop[3], crop[0]:crop[2]]
+    m = _pix_map((h, w), dims, crop)
+    got = cv2.warpAffine(img, m[:2], (fw, fh),
+                         flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    assert np.abs(ref - got.astype(np.float32)).max() <= 1.0

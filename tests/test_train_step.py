@@ -54,3 +54,26 @@ def test_train_step_dp_mesh(setup):
         new_state, new_tstate, metrics = step(state, tstate, batch,
                                               jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(metrics['total_loss']))
+
+
+def test_ema_params_track(setup):
+    """EMA shadow follows params with the warmup-ramped decay
+    (cfg.train.ema_decay; torch ExponentialMovingAverage convention)."""
+    import dataclasses
+    cfg, _, _, batch, _ = setup
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, ema_decay=0.9))
+    state, tstate = create_train_state(cfg, jax.random.PRNGKey(0), batch=1)
+    assert state.ema_params is not None
+    step = jax.jit(make_train_step(cfg, use_gt_depth=True))
+    s1, tstate, _ = step(state, tstate, batch, jax.random.PRNGKey(1))
+    # step 0: ramp d = min(0.9, 1/10) = 0.1 -> ema = 0.1*old + 0.9*new
+    d = 0.1
+    expect = jax.tree_util.tree_map(
+        lambda e, p: e * d + p * (1 - d), state.params, s1.params)
+    err = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), expect, s1.ema_params)
+    assert max(jax.tree_util.tree_leaves(err)) < 1e-5
+    # ema differs from raw params once they move
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s1.params, s1.ema_params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0

@@ -28,6 +28,9 @@ def main():
     p.add_argument('--eval-range-m', type=float, default=None)
     p.add_argument('--submission', default=None,
                    help='optional AV2 feather submission output path')
+    p.add_argument('--use-ema', action='store_true',
+                   help='evaluate the EMA shadow params from the checkpoint '
+                        '(requires training with train.ema_decay > 0)')
     args = p.parse_args()
 
     import jax
@@ -43,6 +46,11 @@ def main():
 
     init_distributed()
     cfg = Far3DConfig()
+    if args.use_ema:
+        # re-create the state with the EMA slot so orbax restore matches
+        import dataclasses
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    ema_decay=0.999))
     rank, world = jax.process_index(), jax.process_count()
     ann = args.ann_file or f'{args.data_root}/av2_val_infos.pkl'
     dataset = AV2SequenceDataset(ann, args.data_root, split='val',
@@ -62,7 +70,11 @@ def main():
     elif args.checkpoint:
         mgr = CheckpointManager(args.checkpoint)
         state = mgr.restore(state)
-        variables = {'params': state.params, 'stats': state.stats,
+        params = state.params
+        if args.use_ema:
+            assert state.ema_params is not None, 'checkpoint has no EMA'
+            params = state.ema_params
+        variables = {'params': params, 'stats': state.stats,
                      'batch_stats': state.batch_stats}
     else:
         raise SystemExit('need --checkpoint or --torch-checkpoint')

@@ -96,7 +96,10 @@ def build_eval_fn(cfg, val_ann, data_root, work_dir, rank, world,
     log = logging.getLogger('far3d_tpu.eval')
 
     def eval_fn(state):
-        variables = {'params': state.params, 'stats': state.stats,
+        # evaluate the EMA shadow when tracked (cfg.train.ema_decay > 0)
+        params = state.params if state.ema_params is None else \
+            state.ema_params
+        variables = {'params': params, 'stats': state.stats,
                      'batch_stats': state.batch_stats}
         results = run_inference(cfg, variables, loader)
         out = collect_and_evaluate(
