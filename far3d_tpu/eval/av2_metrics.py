@@ -166,7 +166,8 @@ def accumulate_sweep(dts: np.ndarray, gts: np.ndarray,
 def evaluate_detections(detections: Sequence[Dict],
                         annotations: Sequence[Dict],
                         cfg: Optional[DetectionConfig] = None,
-                        roi_masks: Optional[Dict] = None):
+                        roi_masks: Optional[Dict] = None,
+                        workers: int = 0):
     """Full evaluation (av2_eval_util.py:60-156 + summarize_metrics).
 
     detections: per-frame dicts with keys log_id, timestamp_ns,
@@ -177,6 +178,9 @@ def evaluate_detections(detections: Sequence[Dict],
         RasterROI} — HD-map ROI gating as in av2_eval_util.py:158-176; boxes
         outside the raster are excluded from both dts and gts. Sweeps with no
         entry fall back to the range-only gate.
+    workers: > 0 fans the per-sweep accumulation over a thread pool (the
+        reference parallelizes with a joblib pool, av2_utils.py evaluate;
+        numpy releases the GIL on the heavy ops).
 
     Returns (summary dict per category, means dict with mAP/ATE/ASE/AOE/CDS).
     """
@@ -205,8 +209,9 @@ def evaluate_detections(detections: Sequence[Dict],
     t = len(cfg.affinity_thresholds_m)
     cat_dts = defaultdict(list)    # category -> (scores, aug rows)
     cat_gts_evaluated = defaultdict(int)
-    all_keys = set(per_key_dts) | set(per_key_gts)
-    for key in all_keys:
+    all_keys = sorted(set(per_key_dts) | set(per_key_gts))
+
+    def one_sweep(key):
         log_id, ts, c = key
         d = np.concatenate(per_key_dts[key], axis=0) if key in per_key_dts \
             else np.zeros((0, 8))
@@ -215,7 +220,15 @@ def evaluate_detections(detections: Sequence[Dict],
         roi = None
         if roi_masks is not None:
             roi = roi_masks.get((log_id, ts), roi_masks.get(log_id))
-        daug, gaug, dscores = accumulate_sweep(d, g, cfg, roi)
+        return c, accumulate_sweep(d, g, cfg, roi)
+
+    if workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            sweep_results = list(pool.map(one_sweep, all_keys))
+    else:
+        sweep_results = [one_sweep(k) for k in all_keys]
+    for c, (daug, gaug, dscores) in sweep_results:
         cat_dts[c].append((dscores, daug))
         cat_gts_evaluated[c] += int(gaug[:, -1].sum())
 

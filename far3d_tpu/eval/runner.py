@@ -113,7 +113,9 @@ def collect_and_evaluate(cfg: Far3DConfig, dataset, results_dir: str,
             num_interior_pts=np.ones(len(rec['gt_labels_3d']))))
     dc = DetectionConfig() if eval_range_m is None else DetectionConfig(
         eval_range_m=(0.0, eval_range_m))
-    summary, means = evaluate_detections(parts, annotations, dc)
+    workers = min(8, os.cpu_count() or 1)
+    summary, means = evaluate_detections(parts, annotations, dc,
+                                         workers=workers)
     print(format_summary(summary, means))
     return summary, means
 

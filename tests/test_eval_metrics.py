@@ -107,3 +107,30 @@ def test_roi_masking_gates_dts_and_gts():
     s2 = summary2['ARTICULATED_BUS']
     assert s2['num_gts'] == 3
     assert s2['AP'] < s['AP']
+
+
+def test_worker_pool_matches_serial():
+    """workers>0 must not change results (threaded per-sweep accumulation)."""
+    rng = np.random.RandomState(7)
+    dts, gts = [], []
+    for f in range(4):
+        n, m = 12, 9
+        boxes = np.concatenate([rng.uniform(-40, 40, (m, 2)),
+                                rng.uniform(0, 2, (m, 1)),
+                                rng.uniform(1, 4, (m, 3)),
+                                rng.uniform(-3, 3, (m, 1))], axis=1)
+        noisy = boxes[rng.randint(0, m, n)] + rng.randn(n, 7) * 0.3
+        dts.append(dict(log_id='log0', timestamp_ns=f, boxes=noisy,
+                        scores=rng.rand(n),
+                        labels=rng.randint(0, 3, n)))
+        gts.append(dict(log_id='log0', timestamp_ns=f, boxes=boxes,
+                        labels=rng.randint(0, 3, m),
+                        num_interior_pts=np.full(m, 5)))
+    cfg = DetectionConfig()
+    s0, m0 = evaluate_detections(dts, gts, cfg, workers=0)
+    s1, m1 = evaluate_detections(dts, gts, cfg, workers=3)
+    assert m0 == m1
+    assert s0.keys() == s1.keys()
+    for k in s0:
+        for field in s0[k]:
+            assert s0[k][field] == s1[k][field], (k, field)

@@ -6,6 +6,9 @@ from __future__ import annotations
 def add_common_args(p):
     p.add_argument('--data-root', required=True)
     p.add_argument('--ann-file', default=None)
+    p.add_argument('--dataset', choices=('av2', 'nuscenes'), default='av2',
+                   help='dataset family (reference: Argoverse2DatasetT / '
+                        'CustomNuScenesDataset)')
     p.add_argument('--checkpoint', default=None,
                    help='orbax work dir written by tools/train.py')
     p.add_argument('--torch-checkpoint', default=None,
@@ -38,6 +41,11 @@ def load_variables(cfg, args):
 
 
 def build_dataset(cfg, args, split='val'):
+    if getattr(args, 'dataset', 'av2') == 'nuscenes':
+        from far3d_tpu.data.nuscenes_dataset import NuScenesSequenceDataset
+        ann = args.ann_file or \
+            f'{args.data_root}/nuscenes2d_temporal_infos_{split}.pkl'
+        return NuScenesSequenceDataset(ann, args.data_root, seq_split_num=1)
     from far3d_tpu.data.av2_dataset import AV2SequenceDataset
     ann = args.ann_file or f'{args.data_root}/av2_{split}_infos.pkl'
     return AV2SequenceDataset(ann, args.data_root, split=split,
