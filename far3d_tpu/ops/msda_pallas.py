@@ -6,7 +6,8 @@ with a TPU-native design. Mosaic has no vectorized dynamic gather from VMEM,
 so the bilinear gather is reformulated as a *tiled one-hot matmul* on the MXU,
 and the per-(group, level, point) attention reduction is fused in-kernel:
 
-    S[r, j]    = sum_corners bw_c[r] * (j == idx_c[r])     (VPU, per tile)
+    idx_c, bw_c = bilinear corners(loc, level)              (VPU, in-kernel)
+    S[r, j]    = sum_corners bw_c[r] * (j == idx_c[r])      (VPU, per tile)
     sampled    = S @ value_level                            (MXU)
     out[q, :] += sum_p attw[q, g, p] * sampled[(q,p), g-slice]   (VPU)
 
@@ -22,6 +23,12 @@ Design points (each validated by measurement on a v5e chip):
     points padded 13 -> 16 so a row-block is exactly 16 queries x 16 points;
     scalar-prefetched chunk tables route each block to its own level's
     feature columns (no cross-level MAC waste, one kernel launch);
+  * corner indices/weights are computed IN-KERNEL from the normalized
+    sampling locations and a scalar-prefetched (H, W) level table — the
+    XLA-side wrapper never materializes the per-level row-space corner
+    tensors (4 levels x (B, rows, 4) idx + bw, ~17 MB/layer of relayout
+    traffic in the v1 design); the only per-level row tensor left is the
+    attention weights;
   * the whole 4-level padded pyramid (~7.5 MB bf16 per camera) stays resident
     in VMEM for the call; the dV accumulator (f32) likewise, with calls split
     by a VMEM byte budget per dtype;
@@ -49,7 +56,15 @@ from .msda import _corner_data
 P_PAD = 16                  # points per query, padded (reference uses 13)
 Q_BLK = 16                  # queries per row-block
 R_BLK = Q_BLK * P_PAD       # rows per block = 256
-L_BLK = 768
+# 768 -> 512 with the in-kernel corner computation: the (R_BLK, L_BLK)
+# iota/p_mat/sel temporaries plus the resident value block left only ~0.1 MB
+# of scoped-VMEM headroom at training shapes (16.14M > 16M limit at 768);
+# 512 restores margin, and L_BLK was measured perf-neutral 256..768 (the
+# per-block chunk ranges already keep real spans narrow).
+L_BLK = 512
+# sentinel normalized coordinate for padded points/queries: far enough out
+# that every bilinear corner is out of bounds at any level (weights -> 0)
+_PAD_LOC = -4.0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -80,8 +95,58 @@ def _expand_mat_t(groups: int, c: int, dtype):
         jnp.int32, (c, groups), 1)).astype(dtype)
 
 
+def _kernel_corners(loc_ref, hw_ref, clo_ref, level, rows_as_lanes: bool):
+    """Bilinear corner (call-local flat index, weight) arrays for this
+    row-block, computed in-kernel from normalized (u, v) locations.
+
+    Matches ops.msda._corner_data exactly: x = u*W - 0.5, indices clamped
+    into the level, out-of-bounds corner weights zeroed (mask-multiply; the
+    fractional parts dx/dy are in [0, 1) so the products never overflow).
+    Sentinel-padded rows (loc = _PAD_LOC) zero all four weights.
+
+    The four corners are CORNER-STACKED into single arrays — per-corner
+    (R_BLK, 1) temporaries each occupy a full 128-lane VMEM tile (128 KB),
+    and ~12 of them live across the chunk loop blew the 16 MB scope at
+    inference shapes (measured: 16.37M with per-corner vectors, fits
+    stacked). Corner order along the stacked axis: (y0,x0), (y0,x0+1),
+    (y0+1,x0), (y0+1,x0+1) — i.e. x parity = c % 2, y parity = c // 2.
+
+    rows_as_lanes=False -> (R_BLK, 4) idx/weight arrays (fwd/dattn);
+    rows_as_lanes=True  -> (4, R_BLK) arrays (dval's transposed one-hot).
+    """
+    lxy = loc_ref[0]                                   # (R_BLK, 2) f32
+    hf = hw_ref[level, 0].astype(jnp.float32)
+    wf = hw_ref[level, 1].astype(jnp.float32)
+    base = clo_ref[level] * L_BLK
+    if rows_as_lanes:
+        shape, caxis = (4, R_BLK), 0
+        x = lxy[:, 0][None, :] * wf - 0.5              # (1, R_BLK)
+        y = lxy[:, 1][None, :] * hf - 0.5
+    else:
+        shape, caxis = (R_BLK, 4), 1
+        x = lxy[:, 0:1] * wf - 0.5                     # (R_BLK, 1)
+        y = lxy[:, 1:2] * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    corner = jax.lax.broadcasted_iota(jnp.int32, shape, caxis)
+    xodd = (corner % 2).astype(jnp.float32)            # x corner offset
+    yodd = (corner // 2).astype(jnp.float32)           # y corner offset
+    cx = x0 + xodd
+    cy = y0 + yodd
+    valid = ((cy >= 0) & (cy < hf) & (cx >= 0) & (cx < wf)
+             ).astype(jnp.float32)
+    idx = (jnp.clip(cy, 0.0, hf - 1.0) * wf
+           + jnp.clip(cx, 0.0, wf - 1.0)).astype(jnp.int32) + base
+    # w_x = (1-dx) for even corners, dx for odd; w_y analogous
+    wgt = (xodd * dx + (1.0 - xodd) * (1.0 - dx)) * \
+          (yodd * dy + (1.0 - yodd) * (1.0 - dy))
+    return idx, wgt * valid
+
+
 def _make_kernel(blocks_per_level: int, c: int, groups: int):
-    def msda_fwd_kernel(nv_ref, clo_ref, rlo_ref, rhi_ref, idx_ref, bw_ref,
+    def msda_fwd_kernel(nv_ref, clo_ref, rlo_ref, rhi_ref, hw_ref, loc_ref,
                         wa_ref, val_ref, out_ref):
         b = pl.program_id(0)
         r = pl.program_id(1)
@@ -91,14 +156,12 @@ def _make_kernel(blocks_per_level: int, c: int, groups: int):
 
         @pl.when(active)
         def _():
-            idx = idx_ref[0]                       # (R_BLK, 4) int32, global
-            bw = bw_ref[0]                         # (R_BLK, 4) f32
-            lo = clo_ref[level]
-
-            bwh = bw.astype(jnp.bfloat16)
+            idx4, bw4 = _kernel_corners(loc_ref, hw_ref, clo_ref, level,
+                                        rows_as_lanes=False)
+            bwh4 = bw4.astype(jnp.bfloat16)
 
             def body(li, acc):
-                s = (lo + li) * L_BLK
+                s = (clo_ref[level] + li) * L_BLK
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (R_BLK, L_BLK), 1) + s
                 # built directly in bf16: saves the f32 staging buffer (VMEM
@@ -107,8 +170,9 @@ def _make_kernel(blocks_per_level: int, c: int, groups: int):
                 # "invalid relayout" compiler bug.
                 sel = jnp.zeros((R_BLK, L_BLK), jnp.bfloat16)
                 for ci in range(4):
-                    onehot = (iota == idx[:, ci][:, None]).astype(jnp.bfloat16)
-                    sel = sel + onehot * bwh[:, ci][:, None]
+                    onehot = (iota == idx4[:, ci][:, None]
+                              ).astype(jnp.bfloat16)
+                    sel = sel + onehot * bwh4[:, ci][:, None]
                 chunk = val_ref[0, pl.ds(s, L_BLK), :]
                 return acc + jnp.dot(sel, chunk,
                                      preferred_element_type=jnp.float32)
@@ -153,12 +217,12 @@ def _build_call(b: int, n_levels: int, q_pad: int, l_total_pad: int, c: int,
     return pl.pallas_call(
         _make_kernel(blocks_per_level, c, groups),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,   # nv, chunk_lo, rng_lo, rng_hi
+            num_scalar_prefetch=5,   # nv, chunk_lo, rng_lo, rng_hi, hw
             grid=(b, n_r),
             in_specs=[
-                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
+                # sorted sentinel-padded locations, shared by all levels
+                pl.BlockSpec((1, R_BLK, 2),
+                             lambda bb, r, *_: (bb, r % blocks_per_level, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, R_BLK, groups),
                              lambda bb, r, *_: (bb, r, 0),
@@ -174,7 +238,8 @@ def _build_call(b: int, n_levels: int, q_pad: int, l_total_pad: int, c: int,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_levels * rows_lp * l_total_pad * c
             // max(n_levels, 1),
-            bytes_accessed=b * (n_levels * rows_lp * (8 + groups * 4)
+            bytes_accessed=b * (n_levels * rows_lp * groups * 4
+                                + rows_lp * 8
                                 + l_total_pad * c * 2 + n_levels * q_pad * c * 2),
             transcendentals=0),
     )
@@ -185,7 +250,7 @@ def _make_dval_kernel(blocks_per_level: int, c: int, groups: int):
     VMEM-resident (f32) gradient pyramid (mmcv ms_deform_attn_backward's
     value gradient, scatter-free)."""
 
-    def msda_dval_kernel(nv_ref, clo_ref, rlo_ref, rhi_ref, idx_ref, bw_ref,
+    def msda_dval_kernel(nv_ref, clo_ref, rlo_ref, rhi_ref, hw_ref, loc_ref,
                          wa_ref, g_ref, dval_ref):
         b = pl.program_id(0)
         r = pl.program_id(1)
@@ -200,8 +265,6 @@ def _make_dval_kernel(blocks_per_level: int, c: int, groups: int):
 
         @pl.when(active)
         def _():
-            idx = idx_ref[0]                       # (R_BLK, 4) int32, global
-            bw = bw_ref[0]                         # (R_BLK, 4) f32
             wa = wa_ref[0]                         # (R_BLK, groups) f32
             gq = g_ref[0]                          # (Q_BLK, C) f32
             # d_weighted[r] = g[q(r)]; wfull = group->channel expansion of wa
@@ -210,17 +273,20 @@ def _make_dval_kernel(blocks_per_level: int, c: int, groups: int):
             wfull = jnp.dot(wa, _expand_mat(groups, c, jnp.float32),
                             preferred_element_type=jnp.float32)
             d_acc = (d_weighted * wfull).astype(jnp.bfloat16)   # (R_BLK, C)
-            lo = clo_ref[level]
-            bwh = bw.astype(jnp.bfloat16)
+            # corners in (4, R_BLK) orientation for the transposed one-hot
+            idx4, bw4 = _kernel_corners(loc_ref, hw_ref, clo_ref, level,
+                                        rows_as_lanes=True)
+            bwh4 = bw4.astype(jnp.bfloat16)
 
             def body(li, _):
-                s = (lo + li) * L_BLK
+                s = (clo_ref[level] + li) * L_BLK
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (L_BLK, R_BLK), 0) + s
                 sel_t = jnp.zeros((L_BLK, R_BLK), jnp.bfloat16)
                 for ci in range(4):
-                    onehot = (iota == idx[:, ci][None, :]).astype(jnp.bfloat16)
-                    sel_t = sel_t + onehot * bwh[:, ci][None, :]
+                    onehot = (iota == idx4[ci][None, :]
+                              ).astype(jnp.bfloat16)
+                    sel_t = sel_t + onehot * bwh4[ci][None, :]
                 dv = jnp.dot(sel_t, d_acc, preferred_element_type=jnp.float32)
                 dval_ref[0, pl.ds(s, L_BLK), :] += dv
                 return 0
@@ -238,12 +304,11 @@ def _build_dval_call(b: int, n_levels: int, q_pad: int, l_total_pad: int,
     return pl.pallas_call(
         _make_dval_kernel(blocks_per_level, c, groups),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(b, n_r),
             in_specs=[
-                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
+                pl.BlockSpec((1, R_BLK, 2),
+                             lambda bb, r, *_: (bb, r % blocks_per_level, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, R_BLK, groups),
                              lambda bb, r, *_: (bb, r, 0),
@@ -261,7 +326,7 @@ def _build_dval_call(b: int, n_levels: int, q_pad: int, l_total_pad: int,
         out_shape=jax.ShapeDtypeStruct((b, l_total_pad, c), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_r * R_BLK * l_total_pad * c // max(n_levels, 1),
-            bytes_accessed=b * (n_r * R_BLK * (8 + groups * 4)
+            bytes_accessed=b * (n_r * R_BLK * groups * 4
                                 + n_levels * q_pad * c * 4
                                 + l_total_pad * c * 4),
             transcendentals=0),
@@ -273,8 +338,8 @@ def _make_dattn_kernel(blocks_per_level: int, c: int, groups: int):
     recompute acc = S @ V in-kernel, and read per-corner sampled·d_acc dots
     out of P = d_acc @ V^T with the same one-hot masks."""
 
-    def msda_dattn_kernel(nv_ref, clo_ref, rlo_ref, rhi_ref, idx_ref,
-                          bw_ref, wa_ref, g_ref, val_ref, dwa_ref, dbw_ref):
+    def msda_dattn_kernel(nv_ref, clo_ref, rlo_ref, rhi_ref, hw_ref, loc_ref,
+                          wa_ref, g_ref, val_ref, dwa_ref, dbw_ref):
         b = pl.program_id(0)
         r = pl.program_id(1)
         level = r // blocks_per_level
@@ -283,8 +348,6 @@ def _make_dattn_kernel(blocks_per_level: int, c: int, groups: int):
 
         @pl.when(active)
         def _():
-            idx = idx_ref[0]
-            bw = bw_ref[0]
             wa = wa_ref[0]
             gq = g_ref[0]
             expand = _expand_mat(groups, c, jnp.float32)
@@ -293,12 +356,13 @@ def _make_dattn_kernel(blocks_per_level: int, c: int, groups: int):
             wfull = jnp.dot(wa, expand, preferred_element_type=jnp.float32)
             d_acc = d_weighted * wfull
             d_acc_h = d_acc.astype(jnp.bfloat16)
-            lo = clo_ref[level]
-            bwh = bw.astype(jnp.bfloat16)
+            idx4, bw4 = _kernel_corners(loc_ref, hw_ref, clo_ref, level,
+                                        rows_as_lanes=False)
+            bwh4 = bw4.astype(jnp.bfloat16)
 
             def body(li, carry):
                 acc, dbw = carry
-                s = (lo + li) * L_BLK
+                s = (clo_ref[level] + li) * L_BLK
                 chunk = val_ref[0, pl.ds(s, L_BLK), :]     # (L_BLK, C) bf16
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (R_BLK, L_BLK), 1) + s
@@ -309,9 +373,9 @@ def _make_dattn_kernel(blocks_per_level: int, c: int, groups: int):
                 sel = jnp.zeros((R_BLK, L_BLK), jnp.bfloat16)
                 cols = []
                 for ci in range(4):
-                    onehot = (iota == idx[:, ci][:, None])
+                    onehot = (iota == idx4[:, ci][:, None])
                     sel = sel + (onehot.astype(jnp.bfloat16)
-                                 * bwh[:, ci][:, None])
+                                 * bwh4[:, ci][:, None])
                     cols.append(jnp.sum(onehot.astype(jnp.float32) * p_mat,
                                         axis=1, keepdims=True))
                 acc = acc + jnp.dot(sel, chunk,
@@ -347,12 +411,11 @@ def _build_dattn_call(b: int, n_levels: int, q_pad: int, l_total_pad: int,
     return pl.pallas_call(
         _make_dattn_kernel(blocks_per_level, c, groups),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(b, n_r),
             in_specs=[
-                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, R_BLK, 4), lambda bb, r, *_: (bb, r, 0),
+                pl.BlockSpec((1, R_BLK, 2),
+                             lambda bb, r, *_: (bb, r % blocks_per_level, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, R_BLK, groups),
                              lambda bb, r, *_: (bb, r, 0),
@@ -377,7 +440,7 @@ def _build_dattn_call(b: int, n_levels: int, q_pad: int, l_total_pad: int,
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_r * R_BLK * l_total_pad * c // max(n_levels, 1),
-            bytes_accessed=b * (n_r * R_BLK * (8 + groups * 8)
+            bytes_accessed=b * (n_r * R_BLK * groups * 8
                                 + n_levels * q_pad * c * 4
                                 + l_total_pad * c * 2),
             transcendentals=0),
@@ -395,8 +458,13 @@ def _pad_points(x: jax.Array, fill) -> jax.Array:
 
 class _Prep:
     """Shared forward/backward preprocessing: query validity sort, padded
-    level layout, per-level corner data and attention weights in sorted,
-    point-padded row space."""
+    level layout, sentinel-padded location rows, per-level attention weights
+    in sorted point-padded row space, and per-block chunk-range tables.
+
+    Corner indices/weights are NOT materialized here — the kernels compute
+    them from `loc_rows` + the scalar-prefetched (H, W) table (v1 built
+    4-level row-space idx/bw tensors on the XLA side; measured ~1.2 ms/layer
+    of relayout-bound index math at inference shapes)."""
 
     def __init__(self, spatial_shapes, loc, weights):
         b, q, p, _ = loc.shape
@@ -405,6 +473,7 @@ class _Prep:
         self.q_pad = _round_up(q, Q_BLK)
         self.rows_lp = self.q_pad * P_PAD
         self.spatial_shapes = spatial_shapes
+        self.hw = jnp.asarray(spatial_shapes, jnp.int32)       # (n_lvl, 2)
 
         # padded level offsets inside the VMEM-resident pyramid (L_BLK aligned)
         self.l_pads = [_round_up(h * w, L_BLK) for (h, w) in spatial_shapes]
@@ -438,8 +507,7 @@ class _Prep:
         self.nv = jnp.broadcast_to(
             jnp.sum(valid_q, axis=1).astype(jnp.int32)[:, None], (b, n_lvl))
 
-        # sort loc/weights once; corner data is computed in sorted space so
-        # the per-level index/weight tensors need no further gathers
+        # sort loc/weights once; everything downstream lives in sorted space
         self.loc_s = jnp.take_along_axis(
             loc, self.qorder[:, :, None, None], axis=1)
         w_sorted = jnp.take_along_axis(
@@ -447,40 +515,42 @@ class _Prep:
             self.qorder[:, :, None, None, None], axis=1)
 
         pad_q = self.q_pad - q
-        idx_segs, bw_segs, wa_segs, rng_segs = [], [], [], []
+        # sentinel-padded sorted locations in row space (one tensor shared by
+        # every level — the kernels recompute per-level corners from it)
+        locp = _pad_points(self.loc_s.astype(jnp.float32), _PAD_LOC)
+        if pad_q:
+            locp = jnp.concatenate(
+                [locp, jnp.full((b, pad_q, P_PAD, 2), _PAD_LOC, jnp.float32)],
+                axis=1)
+        self.loc_rows = locp.reshape(b, self.rows_lp, 2)
+
+        wa_segs, rng_segs = [], []
         blocks = self.q_pad // Q_BLK
         for lvl, (h, w) in enumerate(spatial_shapes):
-            idx, bw = _corner_data(self.loc_s, h, w)   # (B, Q, P, 4), local
-            idx = idx.astype(jnp.int32) + offs_pad[lvl]
-            bw = bw.astype(jnp.float32)
-            idx = _pad_points(idx, -1)
-            bw = _pad_points(bw, 0.0)
             wa = jnp.transpose(w_sorted[:, :, :, lvl], (0, 1, 3, 2))
             wa = _pad_points(wa, 0.0)
             if pad_q:
-                idx = jnp.concatenate(
-                    [idx, jnp.full((b, pad_q, P_PAD, 4), -1, jnp.int32)],
-                    axis=1)
-                bw = jnp.concatenate(
-                    [bw, jnp.zeros((b, pad_q, P_PAD, 4))], axis=1)
                 wa = jnp.concatenate(
                     [wa, jnp.zeros((b, pad_q, P_PAD, g))], axis=1)
-            idx_segs.append(idx.reshape(b, self.rows_lp, 4))
-            bw_segs.append(bw.reshape(b, self.rows_lp, 4))
             wa_segs.append(wa.reshape(b, self.rows_lp, g))
             # per-row-block chunk range, level-local: a block only ever
             # touches chunks its (valid-corner) indices fall into, and the
-            # mean-y sort above keeps that span narrow
-            chunk = (idx_segs[-1] - offs_pad[lvl]) // L_BLK
-            validc = bw_segs[-1] > 0
-            chunk4 = chunk.reshape(b, blocks, R_BLK * 4)
-            valid4 = validc.reshape(b, blocks, R_BLK * 4)
-            cmin = jnp.min(jnp.where(valid4, chunk4, 1 << 30), axis=-1)
-            hi = jnp.max(jnp.where(valid4, chunk4, -1), axis=-1) + 1
+            # mean-y sort above keeps that span narrow. Computed on the
+            # small (B, Q, P, 4) corner tensors — never in row space.
+            idx, bw = _corner_data(self.loc_s, h, w)
+            chunk = idx.astype(jnp.int32) // L_BLK
+            validc = bw > 0
+            qmin = jnp.min(jnp.where(validc, chunk, 1 << 30), axis=(2, 3))
+            qmax = jnp.max(jnp.where(validc, chunk, -1), axis=(2, 3))
+            if pad_q:
+                qmin = jnp.concatenate(
+                    [qmin, jnp.full((b, pad_q), 1 << 30, qmin.dtype)], axis=1)
+                qmax = jnp.concatenate(
+                    [qmax, jnp.full((b, pad_q), -1, qmax.dtype)], axis=1)
+            cmin = jnp.min(qmin.reshape(b, blocks, Q_BLK), axis=-1)
+            hi = jnp.max(qmax.reshape(b, blocks, Q_BLK), axis=-1) + 1
             lo = jnp.minimum(cmin, hi)            # empty block -> (0, 0)
             rng_segs.append(jnp.stack([lo, hi], axis=-1).astype(jnp.int32))
-        self.idx_segs = idx_segs
-        self.bw_segs = bw_segs
         self.wa_segs = wa_segs
         self.rng_segs = rng_segs
 
@@ -516,8 +586,9 @@ class _Prep:
         return groups
 
     def group_inputs(self, lvls):
-        """Concatenated per-call row tensors + chunk routing tables, with
-        corner indices rebased to the call-local value buffer.
+        """Per-call row tensors (locations + attention weights) and the
+        scalar routing tables (chunk offsets, per-block chunk ranges, level
+        (H, W) table) for a group of levels.
 
         The row tensors are optimization-barriered: when the fwd and bwd of
         the custom_vjp live in one XLA program (training), XLA fuses the
@@ -529,29 +600,29 @@ class _Prep:
         for lvl in lvls:
             local_off.append(acc_off)
             acc_off += self.l_pads[lvl]
-        idx_g = jnp.concatenate(
-            [self.idx_segs[lvl] - self.offs_pad[lvl] + local_off[i]
-             for i, lvl in enumerate(lvls)], axis=1)
-        bw_g = jnp.concatenate([self.bw_segs[lvl] for lvl in lvls], axis=1)
         wa_g = jnp.concatenate([self.wa_segs[lvl] for lvl in lvls], axis=1)
-        idx_g, bw_g, wa_g = jax.lax.optimization_barrier(
-            (idx_g, bw_g, wa_g))
+        loc_g, wa_g = jax.lax.optimization_barrier((self.loc_rows, wa_g))
         chunk_lo = jnp.asarray([o // L_BLK for o in local_off], jnp.int32)
+        hw_g = jnp.asarray([self.spatial_shapes[lvl] for lvl in lvls],
+                           jnp.int32)
         # per-(b, row-block) level-local chunk ranges (see __init__); two 2-D
         # arrays — a 3-D (B, n_r, 2) scalar-prefetch operand gets its trailing
         # dim padded to a full SMEM tile and blows the 1 MB SMEM budget
         rng_g = jnp.concatenate([self.rng_segs[lvl] for lvl in lvls], axis=1)
         rlo_g, rhi_g = rng_g[..., 0], rng_g[..., 1]
         nv_g = self.nv[:, :len(lvls)]
-        return idx_g, bw_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, acc_off
+        return loc_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, hw_g, acc_off
 
 
 # Measured on v5e: a single call holding the whole ~7.5 MB bf16 pyramid fits
 # at inference query counts (q_pad ~1160, verified after the K=256 proposal
 # budget) but overflows the 16 MB scoped VMEM at training counts
 # (DN + proposals, q_pad ~1616) — so only large-Q calls split (one extra
-# launch ~1 ms).
+# launch ~1 ms). The same overflow shows up at large batch (b=28, i.e. 4
+# scene-lanes x 7 cams: scoped alloc 17.14M at compile time) even though the
+# per-block shapes are b-invariant, so batched calls split too.
 _FWD_SINGLE_CALL_MAX_Q = 1200
+_FWD_SINGLE_CALL_MAX_B = 8
 _FWD_BUDGET_SMALL_Q = 1 << 62        # no split
 _FWD_BUDGET_LARGE_Q = 5_500_000      # bytes of bf16 pyramid per call
 _DVAL_BUDGET = 10_500_000            # bytes of f32 dV accumulator per call
@@ -564,20 +635,25 @@ _DVAL_BUDGET = 10_500_000            # bytes of f32 dV accumulator per call
 _DVAL_BLOCK_BUDGET = 5_500_000
 
 
+def _fwd_budget(prep):
+    if (prep.q_pad <= _FWD_SINGLE_CALL_MAX_Q
+            and prep.b <= _FWD_SINGLE_CALL_MAX_B):
+        return _FWD_BUDGET_SMALL_Q
+    return _FWD_BUDGET_LARGE_Q
+
+
 def _forward(value, spatial_shapes, loc, weights):
     prep = _Prep(spatial_shapes, loc, weights)
     b, q, c, g = prep.b, prep.q, value.shape[-1], prep.g
     val_segs = prep.pad_value(value)
 
-    budget = (_FWD_BUDGET_SMALL_Q if prep.q_pad <= _FWD_SINGLE_CALL_MAX_Q
-              else _FWD_BUDGET_LARGE_Q)
     out_sorted = jnp.zeros((b, prep.q_pad, c), jnp.float32)
-    for lvls in prep.level_groups(c * 2, budget):
-        idx_g, bw_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, acc_off = \
+    for lvls in prep.level_groups(c * 2, _fwd_budget(prep)):
+        loc_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, hw_g, acc_off = \
             prep.group_inputs(lvls)
         val_g = jnp.concatenate([val_segs[lvl] for lvl in lvls], axis=1)
         call = _build_call(b, len(lvls), prep.q_pad, acc_off, c, g)
-        partial = call(nv_g, chunk_lo, rlo_g, rhi_g, idx_g, bw_g,
+        partial = call(nv_g, chunk_lo, rlo_g, rhi_g, hw_g, loc_g,
                        wa_g, val_g)
         # XLA silently miscompiles fusions across this custom-call boundary
         # (wrong numerics at full scale, exact with the barrier; reproduced
@@ -609,7 +685,7 @@ def _backward(value, spatial_shapes, loc, weights, g_out):
     # ---- d_value: f32 accumulator pyramid, budget-split calls -------------
     dval_segs = {}
     for lvls in prep.level_groups(c * 4, _DVAL_BUDGET):
-        idx_g, bw_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, acc_off = \
+        loc_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, hw_g, acc_off = \
             prep.group_inputs(lvls)
         g_rep = jnp.concatenate([g_s] * len(lvls), axis=1)
         # channel-split along group boundaries when the f32 block won't fit
@@ -624,7 +700,7 @@ def _backward(value, spatial_shapes, loc, weights, g_out):
             call = _build_dval_call(b, len(lvls), prep.q_pad, acc_off,
                                     c_s, g_sub)
             parts.append(call(
-                nv_g, chunk_lo, rlo_g, rhi_g, idx_g, bw_g,
+                nv_g, chunk_lo, rlo_g, rhi_g, hw_g, loc_g,
                 wa_g[..., s * g_sub:(s + 1) * g_sub],
                 g_rep[..., s * c_s:(s + 1) * c_s]))
         dval = (parts[0] if n_split == 1
@@ -640,16 +716,14 @@ def _backward(value, spatial_shapes, loc, weights, g_out):
 
     # ---- d_wa / d_bw: recompute kernel over the bf16 value pyramid --------
     val_segs = prep.pad_value(value)
-    budget = (_FWD_BUDGET_SMALL_Q if prep.q_pad <= _FWD_SINGLE_CALL_MAX_Q
-              else _FWD_BUDGET_LARGE_Q)
     dwa_segs, dbw_segs = {}, {}
-    for lvls in prep.level_groups(c * 2, budget):
-        idx_g, bw_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, acc_off = \
+    for lvls in prep.level_groups(c * 2, _fwd_budget(prep)):
+        loc_g, wa_g, chunk_lo, (rlo_g, rhi_g), nv_g, hw_g, acc_off = \
             prep.group_inputs(lvls)
         val_g = jnp.concatenate([val_segs[lvl] for lvl in lvls], axis=1)
         call = _build_dattn_call(b, len(lvls), prep.q_pad, acc_off, c, g)
         g_rep = jnp.concatenate([g_s] * len(lvls), axis=1)
-        dwa, dbw = call(nv_g, chunk_lo, rlo_g, rhi_g, idx_g, bw_g, wa_g,
+        dwa, dbw = call(nv_g, chunk_lo, rlo_g, rhi_g, hw_g, loc_g, wa_g,
                         g_rep, val_g)
         dwa = jax.lax.optimization_barrier(dwa)
         dbw = jax.lax.optimization_barrier(dbw)
