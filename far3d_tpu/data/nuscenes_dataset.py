@@ -127,6 +127,10 @@ class NuScenesSequenceDataset:
                 b[:, 2] += b[:, 5] / 2
             rec['gt_boxes_3d'] = b[:, :7]
             rec['gt_labels_3d'] = labels[keep]
+            # velocity (vx, vy) when the infos carry 9-dim boxes — needed by
+            # the nuScenes AVE metric (eval/nuscenes_metrics.py)
+            rec['gt_velocity'] = (b[:, 7:9] if b.shape[1] >= 9 else
+                                  np.zeros((len(b), 2), np.float32))
             # 2D GT (when present in 2d-temporal infos)
             if 'bboxes2d' in info.get('annos', {}):
                 an = info['annos']

@@ -92,21 +92,30 @@ class Far3D(nn.Module):
 def decode_detections(cls_scores: jax.Array, bbox_preds: jax.Array,
                       query_valid: jax.Array, cfg: Far3DConfig
                       ) -> Dict[str, jax.Array]:
+    """NMS-free decode for the Far3D head (config-object wrapper around
+    `decode_boxes`)."""
+    return decode_boxes(cls_scores, bbox_preds, query_valid,
+                        cfg.head.max_decode_num, cfg.head.post_center_range)
+
+
+def decode_boxes(cls_scores: jax.Array, bbox_preds: jax.Array,
+                 query_valid: jax.Array, max_decode_num: int,
+                 post_center_range) -> Dict[str, jax.Array]:
     """NMS-free decode (core/bbox/coders/nms_free_coder.py:39-91): flat top-K
     over (query x class) sigmoid scores, gravity-center z shift, post-range
-    mask returned as a validity flag (static shapes).
+    mask returned as a validity flag (static shapes). Shared by the Far3D
+    and StreamPETR heads (the latter's 10-dim code adds velocity).
 
     cls_scores: (B, Q, ncls) last-layer logits; bbox_preds: (B, Q, code).
     Returns boxes (B, K, 9) [x,y,z(bottom),w,l,h,yaw,vx,vy], scores (B, K),
     labels (B, K), valid (B, K).
     """
     from ..geometry import denormalize_bbox
-    hc = cfg.head
     b, q, ncls = cls_scores.shape
     scores = jax.nn.sigmoid(cls_scores)
     scores = jnp.where(query_valid[..., None], scores, -1.0)
     flat = scores.reshape(b, q * ncls)
-    top_scores, idx = jax.lax.top_k(flat, hc.max_decode_num)
+    top_scores, idx = jax.lax.top_k(flat, max_decode_num)
     labels = idx % ncls
     qidx = idx // ncls
     code = jnp.take_along_axis(bbox_preds, qidx[..., None], axis=1)
@@ -118,7 +127,7 @@ def decode_detections(cls_scores: jax.Array, bbox_preds: jax.Array,
             [boxes, jnp.zeros((*boxes.shape[:-1], 2), boxes.dtype)], axis=-1)
     # gravity center -> bottom center (farhead.py:1240)
     boxes = boxes.at[..., 2].add(-0.5 * boxes[..., 5])
-    pcr = jnp.asarray(hc.post_center_range)
+    pcr = jnp.asarray(post_center_range)
     center = code[..., :3]
     in_range = jnp.all(center >= pcr[:3], -1) & jnp.all(center <= pcr[3:6], -1)
     valid = in_range & (top_scores > 0)

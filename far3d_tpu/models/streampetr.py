@@ -58,6 +58,9 @@ class StreamPETRConfig:
     position_range: Tuple[float, ...] = (
         -61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    # decode gate (mmdet3d NMSFreeCoder post_center_range, nuScenes default)
+    post_center_range: Tuple[float, ...] = (
+        -61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
     max_decode_num: int = 300
     backbone: BackboneConfig = BackboneConfig()
     neck: NeckConfig = NeckConfig()

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""StreamPETR nuScenes evaluation CLI (second model family's test path;
+the reference evaluates its nuScenes dataset through mmdet3d
+NuScenesDataset.evaluate + the nuscenes devkit, nuscenes_dataset.py:23).
+
+python tools/test_nusc.py --data-root data/nuscenes \
+    [--ann-file nuscenes2d_temporal_infos_val.pkl] \
+    [--checkpoint work_dirs/streampetr] [--random-init]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--data-root', required=True)
+    p.add_argument('--ann-file', default=None)
+    p.add_argument('--checkpoint', default=None,
+                   help='orbax dir holding {params, ...} for StreamPETR')
+    p.add_argument('--random-init', action='store_true',
+                   help='evaluate freshly initialized weights (pipeline '
+                        'smoke / benchmarking)')
+    p.add_argument('--src-wh', type=int, nargs=2, default=(1600, 900),
+                   help='source camera resolution (W H)')
+    p.add_argument('--max-frames', type=int, default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from far3d_tpu.data.loader import EvalLoader
+    from far3d_tpu.data.nuscenes_dataset import NuScenesSequenceDataset
+    from far3d_tpu.eval.petr_runner import (collect_and_evaluate_nusc,
+                                            petr_host_config,
+                                            run_inference_petr)
+    from far3d_tpu.models.streampetr import (StreamPETR, StreamPETRConfig,
+                                             init_petr_state)
+
+    cfg = StreamPETRConfig()
+    ann = args.ann_file or \
+        f'{args.data_root}/nuscenes2d_temporal_infos_val.pkl'
+    dataset = NuScenesSequenceDataset(ann, args.data_root, seq_split_num=1)
+    host_cfg = petr_host_config(cfg, tuple(args.src_wh))
+
+    model = StreamPETR(cfg)
+    h, w = cfg.input_hw
+    init_kw = dict(
+        images=jnp.zeros((1, cfg.num_cams, h, w, 3)),
+        lidar2img=jnp.tile(jnp.eye(4)[None, None],
+                           (1, cfg.num_cams, 1, 1)),
+        state=init_petr_state(1, cfg),
+        prev_exists=jnp.zeros((1,)), timestamp=jnp.zeros((1,)),
+        ego_pose=jnp.tile(jnp.eye(4)[None], (1, 1, 1)),
+        ego_pose_inv=jnp.tile(jnp.eye(4)[None], (1, 1, 1)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **init_kw)
+    if args.checkpoint:
+        import orbax.checkpoint as ocp
+        ckpt = ocp.StandardCheckpointer()
+        variables = ckpt.restore(Path(args.checkpoint).resolve(),
+                                 args=ocp.args.StandardRestore(variables))
+    elif not args.random_init:
+        raise SystemExit('need --checkpoint or --random-init')
+
+    loader = EvalLoader(dataset, host_cfg, max_frames=args.max_frames)
+    results = run_inference_petr(cfg, variables, loader)
+    collect_and_evaluate_nusc(dataset, results)
+
+
+if __name__ == '__main__':
+    main()
