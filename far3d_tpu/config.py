@@ -57,7 +57,11 @@ class BackboneConfig:
     blocks_per_stage: Tuple[int, ...] = (1, 3, 9, 3)
     # which stage outputs to return (stage2..stage5 == strides 4/8/16/32)
     out_stages: Tuple[int, ...] = (2, 3, 4, 5)
-    remat: bool = True       # gradient checkpointing per OSA module (vovnetcp.py)
+    # gradient checkpointing per OSA module (the reference's VoVNetCP,
+    # vovnetcp.py). Off by default: at batch 1/chip the full activations fit
+    # v5e HBM and the recompute costs 26% of step time (1.94 -> 2.44 it/s
+    # measured, docs/PROFILE.md); enable for larger per-chip batches.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,7 +130,9 @@ class DecoderConfig:
     ffn_dims: int = 2048
     dropout: float = 0.1
     attn_dropout: float = 0.1
-    remat: bool = True              # per-layer gradient checkpointing (with_cp)
+    # per-layer gradient checkpointing (reference with_cp). Off by default —
+    # see BackboneConfig.remat (measured together: +26% train throughput)
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

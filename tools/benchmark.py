@@ -82,7 +82,8 @@ def run_host_io(args):
     from far3d_tpu.eval.runner import run_inference
     from far3d_tpu.train.step import create_train_state
 
-    cfg = Far3DConfig()
+    from far3d_tpu.config import apply_overrides
+    cfg = apply_overrides(Far3DConfig(), args.set)
     root = Path(tempfile.gettempdir()) / 'far3d_hostio_bench'
     ann = root / 'infos.pkl'
     if not ann.exists():
@@ -120,6 +121,8 @@ def main():
     p.add_argument('--host-io', action='store_true',
                    help='stream a native-resolution disk dataset through the '
                         'threaded loader (decode+resize included in timing)')
+    p.add_argument('--set', action='append', default=[], metavar='KEY=VAL',
+                   help='dotted config overrides, e.g. decoder.remat=False')
     args = p.parse_args()
 
     if args.host_io:
@@ -132,7 +135,8 @@ def main():
     from far3d_tpu import Far3D, Far3DConfig, decode_detections, init_state
     from far3d_tpu.utils.synthetic import synthetic_batch
 
-    cfg = Far3DConfig()
+    from far3d_tpu.config import apply_overrides
+    cfg = apply_overrides(Far3DConfig(), args.set)
     b = args.batch
     dtype = jnp.dtype(args.dtype)
 
