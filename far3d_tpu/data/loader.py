@@ -28,7 +28,7 @@ def _stack_batch(frames, train: bool):
     keys = ['images', 'lidar2img', 'intrinsics', 'extrinsics', 'timestamp',
             'prev_exists', 'ego_pose', 'ego_pose_inv']
     if train:
-        keys += ['gt_boxes', 'gt_labels', 'gt_mask', 'gt_boxes2d',
+        keys += ['gt_boxes', 'gt_velocity', 'gt_labels', 'gt_mask', 'gt_boxes2d',
                  'gt_labels2d', 'gt_centers2d', 'gt_mask2d', 'gt_depth_bins',
                  'gt_depth_fg']
         return TrainBatch(**{k: np.stack([f[k] for f in frames]) for k in keys})

@@ -285,20 +285,24 @@ def process_frame(rec: Dict, cfg: Far3DConfig,
     if 'gt_boxes_3d' in rec:
         g = dc.max_gt
         gt3 = np.zeros((g, 7), np.float32)
+        gv3 = np.zeros((g, 2), np.float32)
         gl3 = np.zeros((g,), np.int64)
         gm3 = np.zeros((g,), bool)
         # range filter (ObjectRangeFilter, far3d.py:179)
         b3 = rec['gt_boxes_3d']
         l3 = rec['gt_labels_3d']
+        v3 = np.asarray(rec.get('gt_velocity',
+                                np.zeros((len(b3), 2))), np.float32)
         pcr = np.asarray(cfg.pc_range)
         inr = ((b3[:, 0] >= pcr[0]) & (b3[:, 0] <= pcr[3]) &
                (b3[:, 1] >= pcr[1]) & (b3[:, 1] <= pcr[4]))
-        b3, l3 = b3[inr], l3[inr]
+        b3, l3, v3 = b3[inr], l3[inr], v3[inr]
         m = min(len(b3), g)
         gt3[:m] = b3[:m, :7]
+        gv3[:m] = v3[:m]
         gl3[:m] = l3[:m]
         gm3[:m] = True
-        out.update(gt_boxes=gt3, gt_labels=gl3, gt_mask=gm3,
+        out.update(gt_boxes=gt3, gt_velocity=gv3, gt_labels=gl3, gt_mask=gm3,
                    gt_boxes2d=boxes2d, gt_labels2d=labels2d,
                    gt_centers2d=centers2d, gt_mask2d=mask2d,
                    gt_depth_bins=depth_bins, gt_depth_fg=depth_fg)

@@ -62,6 +62,14 @@ class StreamPETRConfig:
     post_center_range: Tuple[float, ...] = (
         -61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
     max_decode_num: int = 300
+    # set-prediction loss knobs (StreamPETR nuScenes recipe: focal cls 2.0 +
+    # weighted L1 0.25 with velocity terms down-weighted to 0.2)
+    loss_cls_weight: float = 2.0
+    loss_bbox_weight: float = 0.25
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    code_weights: Tuple[float, ...] = (2.0, 2.0, 2.0, 1.0, 1.0, 1.0,
+                                       1.0, 1.0, 0.2, 0.2)
     backbone: BackboneConfig = BackboneConfig()
     neck: NeckConfig = NeckConfig()
     input_hw: Tuple[int, int] = (320, 800)

@@ -42,6 +42,8 @@ class TrainBatch(flax.struct.PyTreeNode):
     ego_pose: jax.Array        # (B, 4, 4)
     ego_pose_inv: jax.Array    # (B, 4, 4)
     gt_boxes: jax.Array        # (B, G, 7) metric gravity-center boxes
+    gt_velocity: jax.Array     # (B, G, 2) vx, vy (zeros for AV2; nuScenes
+                               # models with 10-dim codes append these)
     gt_labels: jax.Array       # (B, G)
     gt_mask: jax.Array         # (B, G)
     gt_boxes2d: jax.Array      # (B, N, G2, 4) xyxy padded pixels

@@ -112,7 +112,10 @@ def synthetic_batch(cfg: Far3DConfig, batch: int = 1, seed: int = 0,
         prev_exists=np.zeros((batch,), np.float32),
         ego_pose=np.tile(np.eye(4, dtype=np.float32)[None], (batch, 1, 1)),
         ego_pose_inv=np.tile(np.eye(4, dtype=np.float32)[None], (batch, 1, 1)),
-        gt_boxes=gt_boxes, gt_labels=gt_labels, gt_mask=gt_mask,
+        gt_boxes=gt_boxes,
+        gt_velocity=(rng.uniform(-2, 2, (batch, g, 2)) * gt_mask[..., None]
+                     ).astype(np.float32),
+        gt_labels=gt_labels, gt_mask=gt_mask,
         gt_boxes2d=gt_boxes2d, gt_labels2d=gt_labels2d,
         gt_centers2d=gt_centers2d, gt_mask2d=gt_mask2d,
         gt_depth_bins=depth_bins, gt_depth_fg=depth_fg,

@@ -27,6 +27,9 @@ def main():
     p.add_argument('--src-wh', type=int, nargs=2, default=(1600, 900),
                    help='source camera resolution (W H)')
     p.add_argument('--max-frames', type=int, default=None)
+    p.add_argument('--set', dest='overrides', action='append', default=[],
+                   metavar='KEY=VAL',
+                   help='dotted StreamPETRConfig overrides')
     args = p.parse_args()
 
     import jax
@@ -39,7 +42,8 @@ def main():
     from far3d_tpu.models.streampetr import (StreamPETR, StreamPETRConfig,
                                              init_petr_state)
 
-    cfg = StreamPETRConfig()
+    from far3d_tpu.config import apply_overrides
+    cfg = apply_overrides(StreamPETRConfig(), args.overrides)
     ann = args.ann_file or \
         f'{args.data_root}/nuscenes2d_temporal_infos_val.pkl'
     dataset = NuScenesSequenceDataset(ann, args.data_root, seq_split_num=1)
@@ -57,10 +61,15 @@ def main():
         ego_pose_inv=jnp.tile(jnp.eye(4)[None], (1, 1, 1)))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **init_kw)
     if args.checkpoint:
-        import orbax.checkpoint as ocp
-        ckpt = ocp.StandardCheckpointer()
-        variables = ckpt.restore(Path(args.checkpoint).resolve(),
-                                 args=ocp.args.StandardRestore(variables))
+        from far3d_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(args.checkpoint)
+        restored = mgr.restore(
+            {'params': variables['params'],
+             'stats': variables.get('stats', {})})
+        if restored is None:
+            raise SystemExit(f'no checkpoint found in {args.checkpoint}')
+        variables = restored
+        mgr.close()
     elif not args.random_init:
         raise SystemExit('need --checkpoint or --random-init')
 
