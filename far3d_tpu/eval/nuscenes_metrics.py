@@ -29,7 +29,6 @@ model (like StreamPETR here) predicts no attribute head.
 from __future__ import annotations
 
 import dataclasses
-from collections import defaultdict
 from typing import Dict, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
@@ -131,7 +130,9 @@ def _accumulate_class(dts_by_sample, gts_by_sample, dist_th: float,
             rows.append((float(scores[i]), sample, i))
     rows.sort(key=lambda r: -r[0])
 
-    taken = defaultdict(set)
+    # per-sample free-GT masks so the greedy inner search is one vectorized
+    # argmin per detection (the score-ordered outer loop must stay serial)
+    free = {s: np.ones(len(g[0]), bool) for s, g in gts_by_sample.items()}
     tp, fp, conf = [], [], []
     errs = {k: [] for k in TP_METRICS}
     err_conf = []
@@ -139,20 +140,19 @@ def _accumulate_class(dts_by_sample, gts_by_sample, dist_th: float,
         box = dts_by_sample[sample][0][i]
         gt_boxes, gt_attrs = gts_by_sample.get(sample, (np.zeros((0, 9)),
                                                         np.zeros(0)))
-        best, best_d = -1, float(dist_th)
-        for j in range(len(gt_boxes)):
-            if j in taken[sample]:
-                continue
-            d = float(np.hypot(box[0] - gt_boxes[j, 0],
-                               box[1] - gt_boxes[j, 1]))
-            if d < best_d:
-                best, best_d = j, d
+        best = -1
+        if len(gt_boxes):
+            d = np.hypot(box[0] - gt_boxes[:, 0], box[1] - gt_boxes[:, 1])
+            d = np.where(free[sample], d, np.inf)
+            j = int(np.argmin(d))
+            if d[j] < dist_th:
+                best, best_d = j, float(d[j])
         conf.append(score)
         if best < 0:
             tp.append(0)
             fp.append(1)
             continue
-        taken[sample].add(best)
+        free[sample][best] = False
         tp.append(1)
         fp.append(0)
         g = gt_boxes[best]
