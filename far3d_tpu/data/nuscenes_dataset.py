@@ -131,6 +131,12 @@ class NuScenesSequenceDataset:
             # the nuScenes AVE metric (eval/nuscenes_metrics.py)
             rec['gt_velocity'] = (b[:, 7:9] if b.shape[1] >= 9 else
                                   np.zeros((len(b), 2), np.float32))
+            # annotation attributes (AAE): attribute-name strings -> indices
+            if 'gt_attrs' in info:
+                from ..eval.nuscenes_metrics import NUSC_ATTRIBUTES
+                rec['gt_attrs'] = np.asarray([
+                    NUSC_ATTRIBUTES.index(a) if a in NUSC_ATTRIBUTES else 0
+                    for a in np.asarray(info['gt_attrs'])[keep]], np.int64)
             # 2D GT (when present in 2d-temporal infos)
             if 'bboxes2d' in info.get('annos', {}):
                 an = info['annos']

@@ -39,23 +39,6 @@ def load_image_bgr(path: str) -> np.ndarray:
     return img
 
 
-def _resize(img: np.ndarray, dims: Tuple[int, int]) -> np.ndarray:
-    # dims = (W, H), PIL-style bilinear
-    return cv2.resize(img, dims, interpolation=cv2.INTER_LINEAR)
-
-
-def _crop(img: np.ndarray, crop: Tuple[int, int, int, int]) -> np.ndarray:
-    """PIL-style crop (may extend beyond the image; zero pad)."""
-    x0, y0, x1, y1 = crop
-    h, w = img.shape[:2]
-    out = np.zeros((y1 - y0, x1 - x0) + img.shape[2:], img.dtype)
-    sx0, sy0 = max(x0, 0), max(y0, 0)
-    sx1, sy1 = min(x1, w), min(y1, h)
-    if sx1 > sx0 and sy1 > sy0:
-        out[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = img[sy0:sy1, sx0:sx1]
-    return out
-
-
 def _pix_map(src_hw, dims, crop) -> np.ndarray:
     """3x3 dst->src pixel-center map of one resize+crop stage, matching
     cv2.resize's conventions: the effective scale is the integer-dims ratio

@@ -249,6 +249,11 @@ def evaluate_nuscenes(detections: Sequence[Dict],
                                   <= cfg.class_range(c))
             if m.any():
                 dts[c][sample] = (boxes[m], scores[m], attrs[m])
+    # AAE needs REAL annotation attributes; synthesizing GT attrs with the
+    # prediction-side velocity heuristic would bias attr_err toward 0 (both
+    # sides get the same guess). Without real GT attrs, AAE is reported n/a
+    # and NDS renormalizes over the available terms (documented deviation).
+    gt_attrs_real = all('attrs' in rec for rec in annotations)
     for rec in annotations:
         sample = rec['sample_token']
         boxes = np.asarray(rec['boxes'], np.float64).reshape(-1, 9)
@@ -257,7 +262,7 @@ def evaluate_nuscenes(detections: Sequence[Dict],
         if 'num_pts' in rec:
             keep &= np.asarray(rec['num_pts']) > 0
         attrs = (np.asarray(rec['attrs'], np.int64) if 'attrs' in rec
-                 else default_attributes(names, labels, boxes[:, 7:9]))
+                 else np.zeros(len(labels), np.int64))
         for ci, c in enumerate(names):
             m = keep & (labels == ci) & (np.hypot(boxes[:, 0], boxes[:, 1])
                                          <= cfg.class_range(c))
@@ -283,7 +288,8 @@ def evaluate_nuscenes(detections: Sequence[Dict],
         row['AP'] = float(np.mean(aps))
         for k in TP_METRICS:
             label = _TP_LABELS[k]
-            if (c, k) in _EXCLUDED:
+            if (c, k) in _EXCLUDED or (k == 'attr_err'
+                                       and not gt_attrs_real):
                 row[label] = np.nan
             elif tp_md is None:
                 row[label] = 1.0
@@ -299,11 +305,17 @@ def evaluate_nuscenes(detections: Sequence[Dict],
         vals = [r[label] for r in summary.values()
                 if not np.isnan(r[label])]
         means['m' + label] = float(np.mean(vals)) if vals else np.nan
+    # NDS = (5 mAP + sum_tp (1 - min(1, err))) / 10; a TP metric whose mean
+    # is undefined (no real GT attributes anywhere) drops out of both the
+    # numerator and the denominator instead of silently counting as 0 or 1
     nds = 5.0 * means['mAP']
+    denom = 5.0
     for k in TP_METRICS:
         v = means['m' + _TP_LABELS[k]]
-        nds += 1.0 - min(1.0, v if not np.isnan(v) else 1.0)
-    means['NDS'] = nds / 10.0
+        if not np.isnan(v):
+            nds += 1.0 - min(1.0, v)
+            denom += 1.0
+    means['NDS'] = nds / denom
     return summary, means
 
 

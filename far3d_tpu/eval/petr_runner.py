@@ -93,10 +93,13 @@ def collect_and_evaluate_nusc(dataset, results: List[Dict],
         g = np.asarray(rec.get('gt_boxes_3d', np.zeros((0, 7))), np.float64)
         vel = np.asarray(rec.get('gt_velocity', np.zeros((len(g), 2))),
                          np.float64)
-        gts.append(dict(sample_token=token,
-                        boxes=np.concatenate([g, vel], axis=1),
-                        labels=np.asarray(rec.get('gt_labels_3d',
-                                                  np.zeros(0)), np.int64)))
+        gt = dict(sample_token=token,
+                  boxes=np.concatenate([g, vel], axis=1),
+                  labels=np.asarray(rec.get('gt_labels_3d', np.zeros(0)),
+                                    np.int64))
+        if 'gt_attrs' in rec:      # real annotation attributes (AAE)
+            gt['attrs'] = np.asarray(rec['gt_attrs'], np.int64)
+        gts.append(gt)
     summary, means = evaluate_nuscenes(dts, gts, cfg)
     print(format_nuscenes_summary(summary, means))
     return summary, means

@@ -50,10 +50,24 @@ def _upload_ahead(loader):
     pool.shutdown(wait=False)
 
 
+# jitted infer steps memoized per config: run_inference is called repeatedly
+# by eval-during-training and the host-IO benchmark (warmup + timed run);
+# a fresh jax.jit each call would re-trace and re-compile every time
+# (remote Pallas compiles are ~40s+ on this runtime)
+_INFER_CACHE: Dict = {}
+
+
+def _jitted_infer(cfg: Far3DConfig):
+    fn = _INFER_CACHE.get(cfg)
+    if fn is None:
+        fn = _INFER_CACHE[cfg] = jax.jit(make_infer_step(cfg))
+    return fn
+
+
 def run_inference(cfg: Far3DConfig, variables, loader: EvalLoader,
                   score_keep: int = 300) -> List[Dict]:
     """Stream one rank's shard; returns per-frame detection dicts."""
-    infer = jax.jit(make_infer_step(cfg))
+    infer = _jitted_infer(cfg)
     tstate = init_state(1, cfg.head)
     results = []
     for frame, batch in _upload_ahead(loader):
@@ -100,8 +114,12 @@ def collect_and_evaluate(cfg: Far3DConfig, dataset, results_dir: str,
         with open(path, 'rb') as f:
             parts.extend(pickle.load(f))
 
+    # GT only for the frames actually evaluated — capped runs (--eval-samples
+    # / --max-eval-frames) would otherwise count every frame's GTs in the
+    # recall denominator and silently deflate mAP/CDS
+    evaluated = {p['index'] for p in parts}
     annotations = []
-    for i in range(len(dataset)):
+    for i in sorted(evaluated):
         rec = dataset.get_frame(i)
         if 'gt_boxes_3d' not in rec:
             continue

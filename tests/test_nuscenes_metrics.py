@@ -172,11 +172,27 @@ def test_fp_halves_precision():
 def test_nds_formula():
     rng = np.random.RandomState(3)
     dts, gts = _frames(rng)
-    # corrupt translations a little so errors are non-trivial
-    for d in dts:
+    # corrupt translations a little so errors are non-trivial; give the GTs
+    # real attributes so all 5 TP terms are defined (denominator 10)
+    for d, g in zip(dts, gts):
         d['boxes'][:, :2] += rng.uniform(-0.3, 0.3, (len(d['boxes']), 2))
+        g['attrs'] = rng.randint(1, 4, len(g['boxes']))
+        d['attrs'] = rng.randint(1, 4, len(d['boxes']))
     summary, means = evaluate_nuscenes(dts, gts)
     tp_terms = sum(1.0 - min(1.0, means['m' + k])
                    for k in ('ATE', 'ASE', 'AOE', 'AVE', 'AAE'))
+    assert not np.isnan(means['mAAE'])
     assert means['NDS'] == pytest.approx(
         (5 * means['mAP'] + tp_terms) / 10.0, abs=1e-9)
+
+
+def test_nds_renormalizes_without_gt_attributes():
+    """No real GT attributes anywhere -> AAE n/a, NDS over 9 terms; perfect
+    predictions still score 1.0."""
+    rng = np.random.RandomState(5)
+    dts, gts = _frames(rng)
+    summary, means = evaluate_nuscenes(dts, gts)
+    assert np.isnan(means['mAAE'])
+    for row in summary.values():
+        assert np.isnan(row['AAE'])
+    assert means['NDS'] == pytest.approx(1.0, abs=1e-6)

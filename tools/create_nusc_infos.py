@@ -13,8 +13,9 @@ per keyframe: timestamp, scene_token, lidar2ego_*/ego2global_* (LIDAR_TOP),
 cams {channel: data_path, cam_intrinsic, sensor2lidar_rotation/translation,
 timestamp}, gt_boxes (M, 9) [x, y, z_bottom, w, l, h, yaw, vx, vy] in the
 lidar frame with the mmdet3d yaw convention (-yaw_lidar - pi/2,
-nuscenes_converter.py gt_boxes assembly), gt_names, valid_flag
-(num_lidar_pts > 0), and projected 2D annotations per camera
+nuscenes_converter.py gt_boxes assembly), gt_names, gt_attrs (annotation
+attribute names, for the AAE metric), valid_flag
+(num_lidar_pts + num_radar_pts > 0), and projected 2D annotations per camera
 (the devkit-free equivalent of export_2d_annotation: 3D corners projected
 through lidar2cam, clipped xyxy + projected centers + center depths).
 
@@ -80,8 +81,12 @@ def load_tables(data_root: Path, version: str):
     tables = {}
     for name in ('sample', 'sample_data', 'calibrated_sensor', 'ego_pose',
                  'sensor', 'scene', 'sample_annotation', 'instance',
-                 'category'):
-        with open(data_root / version / f'{name}.json') as f:
+                 'category', 'attribute'):
+        path = data_root / version / f'{name}.json'
+        if name == 'attribute' and not path.exists():
+            tables[name] = {}
+            continue
+        with open(path) as f:
             rows = json.load(f)
         tables[name] = {r['token']: r for r in rows}
     return tables
@@ -184,7 +189,7 @@ def create_nusc_infos(data_root, version, scene_names=None, with_2d=True,
                 timestamp=sd['timestamp'])
 
         # annotations -> lidar-frame boxes
-        boxes9, names, valid = [], [], []
+        boxes9, names, valid, attrs = [], [], [], []
         boxes_raw, centers_l, labels2d_src = [], [], []
         for ann in sorted(anns_by_sample[sample['token']],
                           key=lambda a: a['token']):
@@ -219,7 +224,12 @@ def create_nusc_infos(data_root, version, scene_names=None, with_2d=True,
                               w_, l_, h_, yaw])
             centers_l.append(ctr_l)
             names.append(det_name)
-            valid.append(ann.get('num_lidar_pts', 1) > 0)
+            # devkit/mmdet3d keep GTs visible to lidar OR radar
+            valid.append(ann.get('num_lidar_pts', 1)
+                         + ann.get('num_radar_pts', 0) > 0)
+            at = ann.get('attribute_tokens') or []
+            attrs.append(t['attribute'].get(at[0], {}).get('name', '')
+                         if at else '')
             labels2d_src.append(NUSC_CLASSES.index(det_name))
 
         info = dict(
@@ -233,6 +243,7 @@ def create_nusc_infos(data_root, version, scene_names=None, with_2d=True,
             cams=cams,
             gt_boxes=np.asarray(boxes9, np.float32).reshape(-1, 9),
             gt_names=np.asarray(names),
+            gt_attrs=np.asarray(attrs),    # annotation attribute names
             valid_flag=np.asarray(valid, bool),
         )
         if with_2d and cams:

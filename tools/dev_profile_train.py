@@ -43,7 +43,10 @@ def main():
     priors = make_priors(level_shapes(cfg), cfg.strides)
     b, n = 1, cfg.data.num_cams
 
-    def prep(rng):
+    # NB: batch/tstate/stats are passed as explicit jit ARGUMENTS below —
+    # closure-captured device arrays corrupt pallas custom-call programs on
+    # this TPU runtime (CLAUDE.md)
+    def prep(batch, rng):
         rng_gm, rng_dn, rng_drop = jax.random.split(rng, 3)
         images = batch.images
         if jnp.issubdtype(images.dtype, jnp.integer):
@@ -56,8 +59,8 @@ def main():
                               batch.gt_mask, cfg.head, cfg.pc_range)
         return images, dn, rng_drop
 
-    def fwd(params, stats, bs, rng):
-        images, dn, rng_drop = prep(rng)
+    def fwd(params, stats, bs, batch, tstate, rng):
+        images, dn, rng_drop = prep(batch, rng)
         out, _ = model.apply(
             {'params': params, 'stats': stats, 'batch_stats': bs},
             images=images, lidar2img=batch.lidar2img,
@@ -71,7 +74,7 @@ def main():
             rngs={'dropout': rng_drop}, mutable=['batch_stats'])
         return out, dn
 
-    def loss_of(out, dn):
+    def loss_of(out, dn, batch):
         losses = farhead_loss(out, batch.gt_boxes, batch.gt_labels,
                               batch.gt_mask, dn, cfg.head)
         losses.update(yolox_loss(
@@ -84,22 +87,22 @@ def main():
             batch.gt_depth_fg.reshape(b * n, -1), cfg.roi2d))
         return sum(jax.tree_util.tree_leaves(losses))
 
-    def f_fwd_model(params, rng):
-        out, _ = fwd(params, state.stats, state.batch_stats, rng)
+    def f_fwd_model(params, stats, bs, batch, tstate, rng):
+        out, _ = fwd(params, stats, bs, batch, tstate, rng)
         return (out['all_cls_scores'].astype(jnp.float32).sum()
                 + out['all_bbox_preds'].astype(jnp.float32).sum())
 
-    def f_fwd_loss(params, rng):
-        out, dn = fwd(params, state.stats, state.batch_stats, rng)
-        return loss_of(out, dn)
+    def f_fwd_loss(params, stats, bs, batch, tstate, rng):
+        out, dn = fwd(params, stats, bs, batch, tstate, rng)
+        return loss_of(out, dn, batch)
 
-    def f_grad(params, rng):
-        g = jax.grad(f_fwd_loss)(params, rng)
+    def f_grad(params, stats, bs, batch, tstate, rng):
+        g = jax.grad(f_fwd_loss)(params, stats, bs, batch, tstate, rng)
         return sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
 
     step = make_train_step(cfg, use_gt_depth=True)
 
-    def f_full(s, ts, rng):
+    def f_full(s, ts, batch, rng):
         ns, nts, metrics = step(s, ts, batch, rng)
         # sum a param leaf so the optimizer update isn't dead-code-eliminated
         # (value is a timing probe, not a loss)
@@ -118,10 +121,11 @@ def main():
         return ms
 
     rng = jax.random.PRNGKey(7)
-    t1 = timed('fwd_model', jax.jit(f_fwd_model), (state.params, rng))
-    t2 = timed('fwd_loss', jax.jit(f_fwd_loss), (state.params, rng))
-    t3 = timed('grad', jax.jit(f_grad), (state.params, rng))
-    t4 = timed('full_step', jax.jit(f_full), (state, tstate, rng))
+    fargs = (state.params, state.stats, state.batch_stats, batch, tstate, rng)
+    t1 = timed('fwd_model', jax.jit(f_fwd_model), fargs)
+    t2 = timed('fwd_loss', jax.jit(f_fwd_loss), fargs)
+    t3 = timed('grad', jax.jit(f_grad), fargs)
+    t4 = timed('full_step', jax.jit(f_full), (state, tstate, batch, rng))
     print(f'-> losses+matching ~{t2 - t1:.1f} ms, backward ~{t3 - t2:.1f} ms,'
           f' optimizer/EMA ~{t4 - t3:.1f} ms')
 

@@ -69,8 +69,7 @@ def main():
                          world_size=world, seed=args.seed)
 
     state, tstate = create_petr_train_state(
-        cfg, jax.random.PRNGKey(args.seed), batch=batch * world,
-        train_cfg=tcfg)
+        cfg, jax.random.PRNGKey(args.seed), batch=batch, train_cfg=tcfg)
     mesh = make_mesh()
     step = jax.jit(make_petr_train_step(cfg, tcfg), donate_argnums=(1,))
 
