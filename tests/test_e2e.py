@@ -54,6 +54,21 @@ def test_streaming_eval_end_to_end(disk_dataset):
     summary, means = out
     assert 0.0 <= means['mAP'] <= 1.0
 
+    # capped eval: GT must be restricted to the evaluated frames — counting
+    # the whole dataset's GTs deflates recall/mAP (reference protocol
+    # evaluates exactly the frames it ran, test.py:116-160)
+    half = results[:len(results) // 2]
+    s_half, _ = collect_and_evaluate(cfg, dataset, f'{root}/results_half',
+                                     0, 1, half)
+    full_gts = sum(r['num_gts'] for r in summary.values())
+    half_gts = sum(r['num_gts'] for r in s_half.values())
+    # fixture GTs all lie well inside the 150 m range gate, so the evaluated
+    # count must equal the raw GT count of exactly the evaluated frames
+    want = sum(len(dataset.get_frame(r['index'])['gt_boxes_3d'])
+               for r in half)
+    assert half_gts < full_gts
+    assert half_gts == want
+
 
 def test_train_loop_end_to_end(disk_dataset):
     import dataclasses
