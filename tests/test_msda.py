@@ -166,3 +166,50 @@ def test_msda_pallas_custom_vjp_gradients():
         # tensor's scale, not absolute (d_loc spans ~±25 here).
         np.testing.assert_allclose(np.asarray(a), bb, rtol=2e-2,
                                    atol=2e-2 + 2e-3 * np.abs(bb).max())
+
+
+def test_msda_pallas_split_paths_match_oracle():
+    """Force the budget-split code paths through interpret mode: the
+    level-split forward/backward (large batch or training query counts) and
+    the group-aligned channel-split of the dV accumulator. Both paths bit
+    on real hardware (scoped-VMEM overflows at b=28 and q_pad=1616), so the
+    routing/rebasing logic gets its own oracle check."""
+    import jax
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    from far3d_tpu.ops import msda_pallas as mp
+
+    rng = np.random.RandomState(11)
+    shapes = ((6, 8), (4, 4), (3, 4))
+    lt = sum(h * w for h, w in shapes)
+    b, q, p, g, c = 2, 5, 3, 2, 8
+    value = jnp.asarray(rng.randn(b, lt, c).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (b, q, p, 2)).astype(np.float32))
+    weights = jnp.asarray(rng.rand(b, q, g, len(shapes), p).astype(np.float32))
+    ct = jnp.asarray(rng.randn(b, q, c).astype(np.float32))
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k['interpret'] = True
+        return orig_call(*a, **k)
+
+    mp._clear_kernel_caches()
+    with mock.patch.object(mp.pl, 'pallas_call', interp_call), \
+            mock.patch.object(mp, '_FWD_SINGLE_CALL_MAX_B', 1), \
+            mock.patch.object(mp, '_FWD_BUDGET_LARGE_Q', 1), \
+            mock.patch.object(mp, '_DVAL_BUDGET', 1), \
+            mock.patch.object(mp, '_DVAL_BLOCK_BUDGET', 1):
+        out, vjp = jax.vjp(lambda v, l, w: mp.msda_pallas(v, shapes, l, w),
+                           value, loc, weights)
+        g1 = vjp(ct)
+        got = np.asarray(out)
+    mp._clear_kernel_caches()
+    want, vjp2 = jax.vjp(lambda v, l, w: msda_xla(v, shapes, l, w),
+                         value, loc, weights)
+    g2 = vjp2(ct)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-2, atol=2e-2)
+    for a, bb in zip(g1, g2):
+        bb = np.asarray(bb)
+        np.testing.assert_allclose(np.asarray(a), bb, rtol=2e-2,
+                                   atol=2e-2 + 2e-3 * np.abs(bb).max())
