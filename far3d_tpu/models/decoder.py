@@ -132,12 +132,18 @@ class SelfAttention(nn.Module):
             # our attn_mask: True = blocked; flax mask: True = attend
             m = ~attn_mask
             mask = m[None, None] if m.ndim == 2 else m[:, None]
-        out = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.embed_dims,
-            out_features=self.embed_dims, dropout_rate=self.attn_dropout,
-            dtype=query.dtype, name='mha')(q, inputs_k=k, inputs_v=v,
-                                           mask=mask,
-                                           deterministic=deterministic)
+        import warnings
+        with warnings.catch_warnings():
+            # flax >= 0.7.4 warns whenever inputs_v is square (seq == feat),
+            # a heuristic for "did you mean mask?" — our kwargs are correct
+            warnings.filterwarnings('ignore', message='.*inputs_v.*',
+                                    category=DeprecationWarning)
+            out = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, qkv_features=self.embed_dims,
+                out_features=self.embed_dims, dropout_rate=self.attn_dropout,
+                dtype=query.dtype, name='mha')(q, inputs_k=k, inputs_v=v,
+                                               mask=mask,
+                                               deterministic=deterministic)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return query + out
 

@@ -60,11 +60,17 @@ class PETRTemporalDecoderLayer(nn.Module):
         if attn_mask is not None:
             m = ~attn_mask
             mask = m[None, None] if m.ndim == 2 else m[:, None]
-        sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.embed_dims,
-            dtype=query.dtype, name='self_attn')(
-            query + query_pos, inputs_k=k + kp, inputs_v=k, mask=mask,
-            deterministic=deterministic)
+        import warnings
+        with warnings.catch_warnings():
+            # flax >= 0.7.4 warns whenever inputs_v is square (seq == feat),
+            # a heuristic for "did you mean mask?" — our kwargs are correct
+            warnings.filterwarnings('ignore', message='.*inputs_v.*',
+                                    category=DeprecationWarning)
+            sa = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, qkv_features=self.embed_dims,
+                dtype=query.dtype, name='self_attn')(
+                query + query_pos, inputs_k=k + kp, inputs_v=k, mask=mask,
+                deterministic=deterministic)
         query = nn.LayerNorm(epsilon=1e-5,dtype=query.dtype, name='norm0')(
             query + nn.Dropout(self.dropout, deterministic=deterministic)(sa))
         # dense global cross attention: K/V = all image tokens + 3D PE

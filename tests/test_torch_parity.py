@@ -309,6 +309,90 @@ def test_mha_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), **TOL)
 
 
+def test_second_fpn_matches_torch():
+    """SECONDFPN vs functional torch CustomSECONDFPN semantics
+    (second_fpn.py:44-111): deconv(k=s, no bias) / kernel-1 deconv at s==1 /
+    strided conv at s<1, BN(eval, eps=1e-3), ReLU, concat, final conv."""
+    from far3d_tpu.models.second_fpn import SECONDFPN
+
+    rng = np.random.default_rng(7)
+    in_ch = (8, 12, 16)
+    out_ch = (8, 8, 8)
+    strides = (0.5, 1, 2)
+    final_dim = 10
+    shapes = [(16, 12), (8, 6), (4, 3)]
+    xs = [rng.standard_normal((2, h, w, c)).astype(np.float32)
+          for (h, w), c in zip(shapes, in_ch)]
+
+    ups = []
+    params = {}
+    stats = {}
+
+    def bn_params(i, oc, prefix):
+        p = {'scale': rng.uniform(0.5, 1.5, oc).astype(np.float32),
+             'bias': (rng.standard_normal(oc) * 0.1).astype(np.float32)}
+        s = {'mean': (rng.standard_normal(oc) * 0.1).astype(np.float32),
+             'var': rng.uniform(0.5, 1.5, oc).astype(np.float32)}
+        params[prefix] = p
+        stats[prefix] = s
+        return p, s
+
+    def bn_eval(t, p, s):
+        return F.batch_norm(t, torch.from_numpy(s['mean']),
+                            torch.from_numpy(s['var']),
+                            torch.from_numpy(p['scale']),
+                            torch.from_numpy(p['bias']),
+                            training=False, eps=1e-3)
+
+    for i, (x, s, oc) in enumerate(zip(xs, strides, out_ch)):
+        t = _nchw(x)
+        if s > 1:
+            st = int(s)
+            w = (rng.standard_normal((in_ch[i], oc, st, st)) * 0.2
+                 ).astype(np.float32)
+            t = F.conv_transpose2d(t, torch.from_numpy(w), stride=st)
+            # torch deconv (in, out, kh, kw) -> flax (kh, kw, in, out),
+            # spatially flipped (lax.conv_transpose, transpose_kernel=False)
+            params[f'deblock{i}_conv'] = {
+                'kernel': np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()}
+        elif s == 1:
+            w = (rng.standard_normal((in_ch[i], oc, 1, 1)) * 0.2
+                 ).astype(np.float32)
+            t = F.conv_transpose2d(t, torch.from_numpy(w), stride=1)
+            params[f'deblock{i}_conv'] = {
+                'kernel': np.transpose(w, (2, 3, 0, 1))}
+        else:
+            st = int(round(1 / s))
+            w = (rng.standard_normal((oc, in_ch[i], st, st)) * 0.2
+                 ).astype(np.float32)
+            t = F.conv2d(t, torch.from_numpy(w), stride=st)
+            params[f'deblock{i}_conv'] = {
+                'kernel': np.transpose(w, (2, 3, 1, 0))}
+        p, st_ = bn_params(i, oc, f'deblock{i}_bn')
+        t = F.relu(bn_eval(t, p, st_))
+        ups.append(t)
+    ref = torch.cat(ups, dim=1)
+    half = sum(out_ch) // 2
+    wf0 = (rng.standard_normal((half, sum(out_ch), 3, 3)) * 0.1
+           ).astype(np.float32)
+    params['final_conv0'] = {'kernel': np.transpose(wf0, (2, 3, 1, 0))}
+    pf, sf = bn_params(99, half, 'final_bn')
+    wf1 = (rng.standard_normal((final_dim, half, 1, 1)) * 0.2
+           ).astype(np.float32)
+    params['final_conv1'] = {'kernel': np.transpose(wf1, (2, 3, 1, 0))}
+    ref = F.conv2d(ref, torch.from_numpy(wf0), padding=1)
+    ref = F.relu(bn_eval(ref, pf, sf))
+    ref = F.conv2d(ref, torch.from_numpy(wf1))
+
+    mod = SECONDFPN(in_channels=in_ch, out_channels=out_ch,
+                    upsample_strides=strides, final_conv_feature_dim=final_dim)
+    variables = {'params': jax.tree_util.tree_map(jnp.asarray, params),
+                 'stats': jax.tree_util.tree_map(jnp.asarray, stats)}
+    outs = mod.apply(variables, [jnp.asarray(x) for x in xs])
+    assert len(outs) == 1
+    np.testing.assert_allclose(np.asarray(outs[0]), _nhwc(ref), **TOL)
+
+
 def test_groupnorm_conv_matches_torch():
     """GroupNormConv vs torch conv(pad=1,bias)+GroupNorm(eps=1e-5)+ReLU
     (depth_predictor.py:41-44)."""
