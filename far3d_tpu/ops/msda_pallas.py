@@ -779,23 +779,111 @@ def _clear_kernel_caches():
     _build_dattn_call.cache_clear()
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning: the op is independent along the leading B*N axis (every
+# per-camera stream is self-contained), so under a sharded mesh (camera-
+# sharded latency inference, parallel/cam_shard.py; data-parallel training)
+# each device runs the kernels on its local batch slice instead of GSPMD
+# gathering the operands around an opaque custom call. All non-batch factors
+# are marked need-replication: a channel/group split would break the
+# group->channel block-diagonal weighting, and the in-call query sort makes
+# q-sharding pointless.
+# ---------------------------------------------------------------------------
+
+def _batch_axis(arg_shapes, mesh):
+    """Leading-axis mesh axis (or None) from the first sharded operand."""
+    from jax.sharding import NamedSharding
+    for s in arg_shapes:
+        sh = getattr(s, 'sharding', None)
+        if isinstance(sh, NamedSharding) and len(sh.spec) and \
+                sh.spec[0] is not None:
+            return sh.spec[0], sh.mesh
+    return None, mesh
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward(spatial_shapes):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    # jit-wrap the impl: the kernels build constant scalar-prefetch tables
+    # (chunk maps, (H, W) tables) during tracing, and custom_partitioning
+    # requires a const-free jaxpr — the inner pjit keeps them internal
+    fwd = custom_partitioning(
+        jax.jit(lambda value, loc, weights: _forward(value, spatial_shapes,
+                                                     loc, weights)))
+
+    def infer(mesh, arg_shapes, result_shape):
+        ax, mesh = _batch_axis(arg_shapes, mesh)
+        return NamedSharding(mesh, PartitionSpec(ax))
+
+    def partition(mesh, arg_shapes, result_shape):
+        ax, mesh = _batch_axis(arg_shapes, mesh)
+        b_only = NamedSharding(mesh, PartitionSpec(ax))
+
+        def lower(value, loc, weights):
+            return _forward(value, spatial_shapes, loc, weights)
+
+        return mesh, lower, b_only, (b_only, b_only, b_only)
+
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule='b t c, b q p i, b q g l p -> b q c',
+        need_replication_factors=('t', 'c', 'q', 'p', 'i', 'g', 'l'))
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_backward(spatial_shapes):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    bwd = custom_partitioning(
+        jax.jit(lambda value, loc, weights, g_out: _backward(
+            value, spatial_shapes, loc, weights, g_out)))
+
+    def infer(mesh, arg_shapes, result_shape):
+        ax, mesh = _batch_axis(arg_shapes, mesh)
+        b_only = NamedSharding(mesh, PartitionSpec(ax))
+        return (b_only, b_only, b_only)
+
+    def partition(mesh, arg_shapes, result_shape):
+        ax, mesh = _batch_axis(arg_shapes, mesh)
+        b_only = NamedSharding(mesh, PartitionSpec(ax))
+
+        def lower(value, loc, weights, g_out):
+            return _backward(value, spatial_shapes, loc, weights, g_out)
+
+        return mesh, lower, (b_only, b_only, b_only), (b_only,) * 4
+
+    bwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=('b t c, b q p i, b q g l p, b q c '
+                       '-> b t c, b q p i, b q g l p'),
+        need_replication_factors=('t', 'c', 'q', 'p', 'i', 'g', 'l'))
+    return bwd
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def msda_pallas(value: jax.Array,
                 spatial_shapes: Sequence[Tuple[int, int]],
                 loc: jax.Array,
                 weights: jax.Array) -> jax.Array:
     """Fused deformable sampling (same contract as ops.msda.msda_xla)."""
-    return _forward(value, tuple(spatial_shapes), loc, weights)
+    return _partitioned_forward(tuple(spatial_shapes))(value, loc, weights)
 
 
 def _fwd(value, spatial_shapes, loc, weights):
-    return _forward(value, tuple(spatial_shapes), loc, weights), (
+    return _partitioned_forward(tuple(spatial_shapes))(value, loc, weights), (
         value, loc, weights)
 
 
 def _bwd(spatial_shapes, res, g):
     value, loc, weights = res
-    return _backward(value, tuple(spatial_shapes), loc, weights, g)
+    return _partitioned_backward(tuple(spatial_shapes))(
+        value, loc, weights, g)
 
 
 msda_pallas.defvjp(_fwd, _bwd)

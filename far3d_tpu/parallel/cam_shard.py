@@ -19,10 +19,12 @@ frame latency on N chips is ~(backbone / N + decoder), not frame / N; this
 is a latency mode, not a throughput mode (for throughput, one stream per
 chip already saturates a v5e — docs/PROFILE.md).
 
-Because the Pallas MSDA custom call has no SPMD partitioning rule, camera
-sharding composes with `deform.use_pallas=False` (the XLA formulation
-partitions cleanly); with the Pallas kernel on, GSPMD falls back to
-gathering its operands, which is correct but wastes the decoder shard.
+The Pallas MSDA op carries a `custom_partitioning` rule over its leading
+B*N axis (ops/msda_pallas.py:_partitioned_forward), so camera sharding
+composes with `deform.use_pallas=True`: each device runs the kernel on its
+local camera slice instead of GSPMD gathering operands around an opaque
+custom call (pinned by tests/test_msda.py::
+test_msda_pallas_custom_partitioning_cpu_mesh).
 """
 
 from __future__ import annotations

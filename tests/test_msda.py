@@ -168,6 +168,54 @@ def test_msda_pallas_custom_vjp_gradients():
                                    atol=2e-2 + 2e-3 * np.abs(bb).max())
 
 
+def test_msda_pallas_custom_partitioning_cpu_mesh():
+    """The custom_partitioning rule: msda_pallas under a jit with the leading
+    B*N axis sharded over a 4-device mesh must equal the unsharded result
+    (and gradients), i.e. each device runs the kernel on its batch slice.
+    Pallas runs in interpret mode; the mesh is the virtual CPU mesh."""
+    import jax
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from far3d_tpu.ops import msda_pallas as mp
+
+    rng = np.random.RandomState(13)
+    shapes = ((6, 8), (3, 4))
+    lt = sum(h * w for h, w in shapes)
+    b, q, p, g, c = 4, 5, 3, 2, 8
+    value = jnp.asarray(rng.randn(b, lt, c).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (b, q, p, 2)).astype(np.float32))
+    weights = jnp.asarray(rng.rand(b, q, g, len(shapes), p).astype(np.float32))
+    ct = jnp.asarray(rng.randn(b, q, c).astype(np.float32))
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k['interpret'] = True
+        return orig_call(*a, **k)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ('b',))
+    shard = NamedSharding(mesh, P('b'))
+
+    def f(v, l, w):
+        out, vjp = jax.vjp(lambda v, l, w: mp.msda_pallas(v, shapes, l, w),
+                           v, l, w)
+        return out, vjp(ct)
+
+    mp._clear_kernel_caches()
+    with mock.patch.object(mp.pl, 'pallas_call', interp_call):
+        want, want_grads = f(value, loc, weights)          # eager, unsharded
+        got, got_grads = jax.jit(
+            f, in_shardings=(shard, shard, shard))(value, loc, weights)
+    mp._clear_kernel_caches()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    for a, bb in zip(got_grads, want_grads):
+        bb = np.asarray(bb)
+        np.testing.assert_allclose(np.asarray(a), bb, rtol=2e-2,
+                                   atol=2e-2 + 2e-3 * np.abs(bb).max())
+
+
 def test_msda_pallas_split_paths_match_oracle():
     """Force the budget-split code paths through interpret mode: the
     level-split forward/backward (large batch or training query counts) and

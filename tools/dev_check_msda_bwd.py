@@ -116,11 +116,73 @@ def bench_train_scale():
               f'(median {sorted(times)[len(times)//2]*1000:.1f})')
 
 
+def check_vmem_splits():
+    """On-hardware coverage of the scoped-VMEM budget-split paths.
+
+    b=28 (4 scene-lanes x 7 cams) x q=1612 hits, in one fwd+bwd program,
+    BOTH split routes that overflowed scoped VMEM on real hardware in round
+    2: the level-split forward/recompute (b > _FWD_SINGLE_CALL_MAX_B and
+    large q_pad) and the group-aligned channel-split of the f32 dV
+    accumulator. Until now these were only interpret-tested on CPU
+    (tests/test_msda.py); this catches the next VMEM regression at compile
+    time, before a training run does. Correctness vs the XLA gather oracle
+    at a b=4 slice (full-scale oracle is wasteful on one chip).
+    """
+    from far3d_tpu.ops import msda_pallas as mp
+    rng = np.random.default_rng(2)
+    shapes = ((80, 120), (40, 60), (20, 30), (10, 15))
+    b, q, p, g, c = 28, 1612, 13, 8, 256
+    value, loc, weights = rand_inputs(rng, b, q, p, g, c, shapes,
+                                      clustered=True)
+    ct = jnp.asarray(rng.standard_normal((b, q, c)), jnp.float32)
+    assert b > mp._FWD_SINGLE_CALL_MAX_B and q > mp._FWD_SINGLE_CALL_MAX_Q, \
+        'shape no longer exercises the split paths — update this check'
+
+    def f(v, l, w, gg):
+        out, vjp = jax.vjp(lambda vv, ll, ww: msda_pallas(vv, shapes, ll, ww),
+                           v, l, w)
+        gv, gl, gw = vjp(gg.astype(out.dtype))
+        return out, gv, gl, gw
+
+    t0 = time.time()
+    out, gv, gl, gw = jax.jit(f)(value, loc, weights, ct)
+    sums = [float(np.asarray(jnp.sum(x.astype(jnp.float32) ** 2)))
+            for x in (out, gv, gl, gw)]
+    print(f'b=28 split-path fwd+bwd compiled+ran in {time.time()-t0:.1f}s; '
+          f'sq-sums {sums}')
+    ok = all(np.isfinite(sums)) and all(s > 0 for s in sums)
+
+    # numeric spot-check on a b=4 slice vs the f32 gather oracle
+    sl = slice(0, 4)
+
+    def oracle(v, l, w, gg):
+        out, vjp = jax.vjp(lambda vv, ll, ww: msda_xla(
+            vv.astype(jnp.float32), shapes, ll, ww), v, l, w)
+        gv, gl, gw = vjp(gg)
+        return out, gv, gl, gw
+    want = jax.jit(oracle)(value[sl], loc[sl], weights[sl], ct[sl])
+    got = jax.jit(f)(value[sl], loc[sl], weights[sl], ct[sl])
+    names = ['out', 'd_value', 'd_loc', 'd_weights']
+    for n, a, bb in zip(names, got, want):
+        a = np.asarray(a, np.float32)
+        bb = np.asarray(bb, np.float32)
+        scale = np.abs(bb).max() + 1e-6
+        err = np.abs(a - bb).max() / scale
+        print(f'  {n}: max|diff|/scale = {err:.2e}')
+        ok &= bool(err < 2e-2)
+    print('VMEM-SPLIT CHECK', 'PASS' if ok else 'FAIL')
+    return ok
+
+
 if __name__ == '__main__':
     ap = argparse.ArgumentParser()
     ap.add_argument('--small-only', action='store_true')
     ap.add_argument('--bench-only', action='store_true')
+    ap.add_argument('--vmem-splits', action='store_true',
+                    help='b=28/q=1612 budget-split coverage on hardware')
     args = ap.parse_args()
+    if args.vmem_splits:
+        sys.exit(0 if check_vmem_splits() else 1)
     ok = True
     if not args.bench_only:
         ok = check_small()
