@@ -94,7 +94,8 @@ def run_inference(cfg: Far3DConfig, variables, loader: EvalLoader,
 def collect_and_evaluate(cfg: Far3DConfig, dataset, results_dir: str,
                          rank: int, world_size: int,
                          results: List[Dict],
-                         eval_range_m: Optional[float] = None):
+                         eval_range_m: Optional[float] = None,
+                         roi_masks=None):
     """Write per-rank shard files; rank 0 concatenates in rank order
     (core/apis/test.py:116-160) and evaluates."""
     os.makedirs(results_dir, exist_ok=True)
@@ -133,7 +134,8 @@ def collect_and_evaluate(cfg: Far3DConfig, dataset, results_dir: str,
         eval_range_m=(0.0, eval_range_m))
     workers = min(8, os.cpu_count() or 1)
     summary, means = evaluate_detections(parts, annotations, dc,
-                                         workers=workers)
+                                         workers=workers,
+                                         roi_masks=roi_masks)
     print(format_summary(summary, means))
     return summary, means
 

@@ -26,16 +26,27 @@ def main():
                    help='reference .pth to convert & evaluate')
     p.add_argument('--results-dir', default='work_dirs/far3d/results')
     p.add_argument('--eval-range-m', type=float, default=None)
+    p.add_argument('--map-root', default=None,
+                   help='AV2 sensor-data root containing {log_id}/map/ dirs; '
+                        'enables the official HD-map ROI gate '
+                        '(av2_eval_util.py:158-318)')
     p.add_argument('--submission', default=None,
                    help='optional AV2 feather submission output path')
     p.add_argument('--use-ema', action='store_true',
                    help='evaluate the EMA shadow params from the checkpoint '
                         '(requires training with train.ema_decay > 0)')
+    p.add_argument('--set', dest='overrides', action='append', default=[],
+                   metavar='KEY=VALUE',
+                   help='config override, e.g. --set depthnet.num_depth_bins=30 '
+                        '(reference --cfg-options)')
+    p.add_argument('--tiny', action='store_true',
+                   help='tiny test config (CPU-sized; for fixture runs)')
     args = p.parse_args()
 
     import jax
     import numpy as np
-    from far3d_tpu.config import AV2_CLASS_NAMES, Far3DConfig
+    from far3d_tpu.config import (AV2_CLASS_NAMES, Far3DConfig,
+                                  apply_overrides, tiny_test_config)
     from far3d_tpu.data.av2_dataset import AV2SequenceDataset
     from far3d_tpu.data.loader import EvalLoader
     from far3d_tpu.eval.runner import (collect_and_evaluate,
@@ -45,7 +56,8 @@ def main():
     from far3d_tpu.utils.checkpoint import CheckpointManager
 
     init_distributed()
-    cfg = Far3DConfig()
+    cfg = tiny_test_config() if args.tiny else Far3DConfig()
+    cfg = apply_overrides(cfg, args.overrides)
     if args.use_ema:
         # re-create the state with the EMA slot so orbax restore matches
         import dataclasses
@@ -79,10 +91,19 @@ def main():
     else:
         raise SystemExit('need --checkpoint or --torch-checkpoint')
 
+    roi_masks = None
+    if args.map_root:
+        from far3d_tpu.eval.map_roi import build_roi_masks
+        roi_masks = build_roi_masks(dataset, args.map_root)
+        print('HD-map ROI gate:',
+              'enabled' if roi_masks is not None else
+              'no map dirs found — falling back to range gating')
+
     loader = EvalLoader(dataset, cfg, rank=rank, world_size=world)
     results = run_inference(cfg, variables, loader)
     out = collect_and_evaluate(cfg, dataset, args.results_dir, rank, world,
-                               results, eval_range_m=args.eval_range_m)
+                               results, eval_range_m=args.eval_range_m,
+                               roi_masks=roi_masks)
     if rank == 0 and args.submission:
         df = format_av2_submission(results, AV2_CLASS_NAMES)
         df.to_feather(args.submission)
