@@ -34,6 +34,158 @@ def ring_cameras(n: int, h: int, w: int, fov_deg: float = 70.0):
     return intr, extr
 
 
+def make_learnable_dataset(info_path: str, root: str, n_scenes: int = 2,
+                           frames_per_scene: int = 8, seed: int = 0,
+                           src_hw=(128, 192), n_boxes: int = 4):
+    """On-disk AV2-format dataset whose images *encode* the labels: bright
+    blobs at the projected GT box centers, blob size ~ box size / depth.
+    Built for the closed-loop train->eval demonstration (the reference's only
+    QC is the end-to-end metric check, SURVEY §4): a correct train / decode /
+    match / metric stack must overfit it to near-perfect mAP.
+
+    Two cameras (forward +x / backward -x), static boxes per scene in the
+    city frame, ego translating +x each frame. Box geometry sits inside the
+    tiny test pc-range (xy within ±10 m, z in [1, 3]).
+    """
+    import pickle
+
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    sh, sw = src_hw
+    f = 150.0
+    cx, cy = sw / 2.0, sh / 2.0
+    intr3 = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]])
+    # cam->ego rotations: columns = camera x (right), y (down), z (forward)
+    # expressed in ego axes (x fwd, y left, z up)
+    r_fwd = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]]).T
+    r_back = np.array([[0.0, 0, -1], [1, 0, 0], [0, -1, 0]]).T
+    cam_rots = [r_fwd, r_back]
+    cam_t = np.array([0.0, 0.0, 1.5])
+
+    class_ids = [15, 5, 20]        # REGULAR_VEHICLE, BUS, TRUCK
+    colors = [(60, 220, 60), (220, 60, 60), (60, 60, 220)]
+
+    infos = []
+    os_root = root
+    import os
+    for s in range(n_scenes):
+        # static scene: boxes in the city frame, split between both cameras,
+        # placed so every box stays inside a camera frustum (half-FOV 32.6
+        # deg at f=150) for ALL frames incl. the ego's +x drift — an
+        # invisible GT still counts in the recall denominator and caps mAP.
+        # y slots keep blobs separated so the 3x3 local-max NMS can't merge.
+        sgn = np.where(np.arange(n_boxes) % 2 == 0, 1.0, -1.0)
+        y_slots = np.linspace(-1.5, 1.5, n_boxes)
+        city_boxes = np.stack([
+            sgn * rng.uniform(7.0, 9.5, n_boxes),       # x ahead/behind
+            y_slots + rng.uniform(-0.3, 0.3, n_boxes),  # y
+            rng.uniform(1.0, 2.5, n_boxes),             # z
+            rng.uniform(0.8, 1.6, n_boxes),             # w
+            rng.uniform(0.8, 1.6, n_boxes),             # l
+            rng.uniform(0.8, 1.5, n_boxes),             # h
+            rng.uniform(-np.pi, np.pi, n_boxes),        # yaw
+        ], axis=1)
+        # per-box constant velocities (city frame): boxes MOVE, so a model
+        # that memorizes time-averaged positions instead of reading the
+        # image pays ~1 m ATE — forces image-grounded localization
+        # magnitudes chosen so worst-case (box y + motion) stays inside the
+        # 32.6 deg half-FOV across all frames: max angle ~30 deg
+        vel = np.stack([sgn * rng.uniform(-0.15, 0.15, n_boxes),
+                        rng.uniform(-0.45, 0.45, n_boxes),
+                        np.zeros(n_boxes)], axis=1)
+        dt = 0.5
+        labels = rng.choice(len(class_ids), n_boxes)
+        for fi in range(frames_per_scene):
+            ego = np.eye(4)
+            ego[0, 3] = fi * 0.1                         # ego moves +x
+            city_boxes = city_boxes.copy()
+            city_boxes[:, :3] = city_boxes[:, :3] if fi == 0 else \
+                city_boxes[:, :3] + vel * dt
+            ego_inv = np.linalg.inv(ego)
+            # boxes in the ego frame of this timestamp
+            ego_boxes = city_boxes.copy()
+            ego_boxes[:, :3] = (ego_inv[:3, :3] @ city_boxes[:, :3].T).T \
+                + ego_inv[:3, 3]
+            cam_infos = {}
+            g2d_boxes, g2d_labels, g2d_centers, g2d_depths = [], [], [], []
+            for c in range(2):
+                ego_cam = np.eye(4)
+                ego_cam[:3, :3] = cam_rots[c]
+                ego_cam[:3, 3] = cam_t
+                cam_infos[f'cam{c}'] = dict(
+                    fpath=f'scene{s}/cam{c}/{fi}.jpg',
+                    intrinsics=intr3.copy(),
+                    ego_SE3_cam=ego_cam,
+                    city_SE3_ego_cam_t=ego.copy(),
+                    cam_timestamp_ns=fi * int(1e8),
+                )
+                # per-scene background fingerprint: learned queries memorize
+                # the UNION of all scenes' boxes; the image must let the
+                # model suppress wrong-scene hypotheses or mid-score phantom
+                # detections halve AP (observed: plateau at ~0.46 with
+                # indistinguishable backgrounds)
+                bg = 70 + 60 * (s % 2)
+                img = np.full((sh, sw, 3), bg, np.uint8)
+                img[:: 8 + 4 * (s % 3), :] = 40
+                cam_from_ego = np.linalg.inv(ego_cam)
+                bx, lb, ctr, dp = [], [], [], []
+                for bi in range(n_boxes):
+                    p = cam_from_ego[:3, :3] @ ego_boxes[bi, :3] \
+                        + cam_from_ego[:3, 3]
+                    if p[2] < 2.0:
+                        continue
+                    u = f * p[0] / p[2] + cx
+                    v = f * p[1] / p[2] + cy
+                    if not (8 <= u < sw - 8 and 8 <= v < sh - 8):
+                        continue
+                    r_px = max(int(f * ego_boxes[bi, 3] / (2 * p[2])), 3)
+                    # shade encodes metric depth so the task is fully
+                    # observable (depth from blob size alone is weak at the
+                    # tiny model's capacity; the demo tests the train/decode/
+                    # match/metric stack, not monocular depth perception)
+                    shade = float(np.clip(60 + (p[2] - 4.5) * 33.0, 60, 255))
+                    color = tuple(c * shade / 255.0
+                                  for c in colors[labels[bi]])
+                    cv2.circle(img, (int(round(u)), int(round(v))), r_px,
+                               color, -1)
+                    bx.append([max(u - 2 * r_px, 0), max(v - 2 * r_px, 0),
+                               min(u + 2 * r_px, sw - 1),
+                               min(v + 2 * r_px, sh - 1)])
+                    lb.append(class_ids[labels[bi]])
+                    ctr.append([u, v])
+                    dp.append(p[2])
+                g2d_boxes.append(np.asarray(bx, np.float32).reshape(-1, 4))
+                g2d_labels.append(np.asarray(lb, np.int64))
+                g2d_centers.append(np.asarray(ctr, np.float32).reshape(-1, 2))
+                g2d_depths.append(np.asarray(dp, np.float32))
+                path = os.path.join(os_root, cam_infos[f'cam{c}']['fpath'])
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                cv2.imwrite(path, img)
+            infos.append(dict(
+                scene_id=f'scene{s}',
+                lidar_timestamp_ns=fi * int(1e8),
+                city_SE3_ego_lidar_t=ego.copy(),
+                cam_infos=cam_infos,
+                gt3d_infos=dict(
+                    gt_boxes=ego_boxes.astype(np.float32),
+                    gt_names=np.array(
+                        [Far3DConfig().class_names[class_ids[l]]
+                         for l in labels]),
+                    num_interior_pts=np.full(n_boxes, 10),
+                ),
+                gt2d_infos=dict(
+                    gt_2dbboxes=g2d_boxes,
+                    gt_2dlabels=g2d_labels,
+                    centers2d=g2d_centers,
+                    depths=g2d_depths,
+                ),
+            ))
+    with open(info_path, 'wb') as fobj:
+        pickle.dump({'infos': infos}, fobj)
+    return infos
+
+
 def synthetic_batch(cfg: Far3DConfig, batch: int = 1, seed: int = 0,
                     as_dict: bool = False):
     """Build a TrainBatch of plausible fake data."""
