@@ -28,13 +28,17 @@ class FlashMHA(nn.Module):
     num_heads: int = 8
 
     @nn.compact
-    def __call__(self, q, k, v, deterministic: bool = True):
+    def __call__(self, q, k, v, deterministic: bool = True, key_valid=None):
         h = self.num_heads
         d = self.embed_dims // h
         qp = nn.DenseGeneral((h, d), dtype=q.dtype, name='q_proj')(q)
         kp = nn.DenseGeneral((h, d), dtype=q.dtype, name='k_proj')(k)
         vp = nn.DenseGeneral((h, d), dtype=q.dtype, name='v_proj')(v)
-        out = jax.nn.dot_product_attention(qp, kp, vp)
+        mask = None
+        if key_valid is not None:
+            # (B, K) True = attend (the reference's key_padding_mask inverted)
+            mask = key_valid[:, None, None, :]
+        out = jax.nn.dot_product_attention(qp, kp, vp, mask=mask)
         return nn.DenseGeneral(self.embed_dims, axis=(-2, -1), dtype=q.dtype,
                                name='out_proj')(out)
 
@@ -50,7 +54,8 @@ class PETRTemporalDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, query, query_pos, feats, feats_pos, temp_memory,
-                 temp_pos, attn_mask=None, deterministic: bool = True):
+                 temp_pos, attn_mask=None, deterministic: bool = True,
+                 key_valid=None):
         # self attention with temporal memory as extra keys
         k = jnp.concatenate([query, temp_memory], axis=1) \
             if temp_memory is not None else query
@@ -75,7 +80,8 @@ class PETRTemporalDecoderLayer(nn.Module):
             query + nn.Dropout(self.dropout, deterministic=deterministic)(sa))
         # dense global cross attention: K/V = all image tokens + 3D PE
         ca = FlashMHA(self.embed_dims, self.num_heads, name='cross_attn')(
-            query + query_pos, feats + feats_pos, feats, deterministic)
+            query + query_pos, feats + feats_pos, feats, deterministic,
+            key_valid=key_valid)
         query = nn.LayerNorm(epsilon=1e-5,dtype=query.dtype, name='norm1')(
             query + nn.Dropout(self.dropout, deterministic=deterministic)(ca))
         query = FFN(self.embed_dims, self.ffn_dims, self.dropout, name='ffn')(
@@ -103,6 +109,70 @@ class PETRTemporalTransformer(nn.Module):
                                   temp_memory, temp_pos, attn_mask,
                                   deterministic)
             outs.append(query)
+        return jnp.stack(outs)
+
+
+class PETREncoderLayer(nn.Module):
+    """DETR encoder layer over image tokens: self_attn -> norm -> ffn -> norm
+    (petr_transformer.py:331-357's TransformerLayerSequence members)."""
+    embed_dims: int = 256
+    num_heads: int = 8
+    ffn_dims: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pos, key_valid=None, deterministic: bool = True):
+        sa = FlashMHA(self.embed_dims, self.num_heads, name='self_attn')(
+            x + pos, x + pos, x, deterministic, key_valid=key_valid)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name='norm0')(
+            x + nn.Dropout(self.dropout, deterministic=deterministic)(sa))
+        x = FFN(self.embed_dims, self.ffn_dims, self.dropout, name='ffn')(
+            x, deterministic)
+        return nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name='norm1')(x)
+
+
+class PETRTransformer(nn.Module):
+    """Non-temporal DETR-style PETR transformer
+    (petr_transformer.py:789-868 PETRTransformer + :361-409
+    PETRTransformerDecoder, return_intermediate=True semantics):
+    optional token encoder, zero-init targets, per-layer intermediates each
+    passed through one shared post-norm LN. Registered-but-unused in the
+    reference's shipped configs; provided for model-family parity.
+
+    TPU-first interface: tokens are pre-flattened (B, T, C) with their
+    positional embedding, `key_valid` (B, T) replaces the reference's
+    inverted key_padding_mask, and batch stays the leading axis throughout
+    (no (T, B, C) permutes)."""
+    embed_dims: int = 256
+    num_layers: int = 6
+    num_encoder_layers: int = 0
+    num_heads: int = 8
+    ffn_dims: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats, feats_pos, query_embed, key_valid=None,
+                 deterministic: bool = True):
+        """feats/feats_pos: (B, T, C); query_embed: (Q, C) learned.
+        Returns (num_layers, B, Q, C) post-normed intermediates."""
+        b = feats.shape[0]
+        for i in range(self.num_encoder_layers):
+            feats = PETREncoderLayer(
+                self.embed_dims, self.num_heads, self.ffn_dims, self.dropout,
+                name=f'enc{i}')(feats, feats_pos, key_valid, deterministic)
+        query_pos = jnp.broadcast_to(query_embed[None],
+                                     (b, *query_embed.shape))
+        query = jnp.zeros_like(query_pos)
+        post_norm = nn.LayerNorm(epsilon=1e-5, dtype=feats.dtype,
+                                 name='post_norm')
+        outs = []
+        for i in range(self.num_layers):
+            query = PETRTemporalDecoderLayer(
+                self.embed_dims, self.num_heads, self.ffn_dims, self.dropout,
+                name=f'layer{i}')(query, query_pos, feats, feats_pos,
+                                  None, None, None, deterministic,
+                                  key_valid=key_valid)
+            outs.append(post_norm(query))
         return jnp.stack(outs)
 
 

@@ -102,3 +102,51 @@ def test_streampetr_model_end_to_end():
     g = jax.grad(loss_fn)(variables['params'])
     leaves = jax.tree_util.tree_leaves(g)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_petr_transformer_non_temporal():
+    """PETRTransformer (the reference's registered-but-unused DETR-style
+    variant, petr_transformer.py:789-868 + :361-409): encoder + decoder
+    stack, per-intermediate shared post-norm, and key_valid masking (the
+    key_padding_mask equivalent) — masked tokens must not influence the
+    output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from far3d_tpu.models.petr import PETRTransformer
+
+    rng = np.random.RandomState(0)
+    b, t, q, c = 2, 40, 8, 32
+    feats = rng.randn(b, t, c).astype(np.float32)
+    pos = rng.randn(b, t, c).astype(np.float32)
+    qemb = rng.randn(q, c).astype(np.float32)
+    valid = np.ones((b, t), bool)
+    valid[:, 30:] = False
+
+    model = PETRTransformer(embed_dims=c, num_layers=2,
+                            num_encoder_layers=1, num_heads=4, ffn_dims=64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                           jnp.asarray(pos), jnp.asarray(qemb),
+                           key_valid=jnp.asarray(valid))
+    out = model.apply(variables, jnp.asarray(feats), jnp.asarray(pos),
+                      jnp.asarray(qemb), key_valid=jnp.asarray(valid))
+    assert out.shape == (2, b, q, c)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # scrambling the masked tokens must not change the output
+    feats2 = feats.copy()
+    feats2[:, 30:] = rng.randn(b, 10, c)
+    out2 = model.apply(variables, jnp.asarray(feats2), jnp.asarray(pos),
+                       jnp.asarray(qemb), key_valid=jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               rtol=1e-5, atol=1e-5)
+
+    # without the mask the scrambled tokens DO change the output
+    out3 = model.apply(variables, jnp.asarray(feats2), jnp.asarray(pos),
+                       jnp.asarray(qemb))
+    assert np.abs(np.asarray(out3) - np.asarray(out)).max() > 1e-4
+
+    # shared post-norm: per-layer intermediates are LayerNorm'd (unit stats)
+    arr = np.asarray(out)
+    np.testing.assert_allclose(arr.mean(-1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(arr.var(-1), 1.0, atol=1e-2)
