@@ -35,8 +35,28 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
-        return self._mgr.restore(
+        restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template))
+        # Orbax hands back COMMITTED device arrays while jit-created states
+        # hold UNCOMMITTED ones; the mismatch changes the resolved input
+        # shardings, so a jitted train step silently RECOMPILES on the first
+        # post-resume call — on the TPU runtime that is a multi-minute remote
+        # compile per resume. Reshape every leaf to the template leaf's
+        # placement AND committed-ness so the resumed state is
+        # dispatch-identical to a fresh one.
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        def _match(tmpl, leaf):
+            if not isinstance(tmpl, jax.Array):
+                return leaf
+            if tmpl.committed:
+                return jax.device_put(leaf, tmpl.sharding)
+            # uncommitted template (plain jit output): a host round-trip is
+            # the only public way to produce an uncommitted device array
+            return jnp.asarray(np.asarray(leaf), dtype=tmpl.dtype)
+        return jax.tree_util.tree_map(_match, state_template, restored)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -88,3 +88,36 @@ def test_train_loop_end_to_end(disk_dataset):
     from far3d_tpu.utils.checkpoint import CheckpointManager
     mgr = CheckpointManager(f'{root}/work')
     assert mgr.latest_step() == 2
+
+
+def test_restore_is_dispatch_identical(tmp_path):
+    """A restored TrainState must hit the SAME jit dispatch-cache entry as a
+    fresh one. Orbax returns committed leaves while jit outputs are
+    uncommitted; without the committed-ness matching in
+    CheckpointManager.restore, every resume silently recompiled the whole
+    train step (a multi-minute remote compile on the TPU runtime)."""
+    import jax
+
+    from far3d_tpu.train.step import create_train_state, make_train_step
+    from far3d_tpu.utils.checkpoint import CheckpointManager
+    from far3d_tpu.utils.synthetic import synthetic_batch
+
+    cfg = tiny_test_config()
+    state, t0 = create_train_state(cfg, jax.random.PRNGKey(0), batch=1)
+    mgr = CheckpointManager(str(tmp_path / 'ckpt'), max_to_keep=1,
+                            save_interval=1)
+    mgr.save(1, state)
+    mgr.close()
+    fresh, _ = create_train_state(cfg, jax.random.PRNGKey(0), batch=1)
+    restored = CheckpointManager(str(tmp_path / 'ckpt')).restore(fresh)
+
+    step = jax.jit(make_train_step(cfg, use_gt_depth=True))
+    b = synthetic_batch(cfg, batch=1)
+    out1 = step(state, t0, b, jax.random.PRNGKey(1))
+    assert step._cache_size() == 1
+    out2 = step(restored, t0, b, jax.random.PRNGKey(1))
+    assert step._cache_size() == 1, 'restored state recompiled the step'
+    # and the resumed step is bit-identical to the continuous one
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(out1[2]['total_loss']),
+                                  np.asarray(out2[2]['total_loss']))
