@@ -186,6 +186,120 @@ def make_learnable_dataset(info_path: str, root: str, n_scenes: int = 2,
     return infos
 
 
+def make_learnable_nusc_dataset(info_path: str, root: str, n_scenes: int = 2,
+                                frames_per_scene: int = 8, seed: int = 0,
+                                src_hw=(64, 96), n_boxes: int = 4):
+    """nuScenes-format twin of `make_learnable_dataset` for the StreamPETR
+    closed loop: an on-disk StreamPETR-style info pkl + blob images whose
+    appearance encodes the GT (position via projection, depth via shade,
+    class via color, scene identity via background fingerprint).
+
+    Geometry sits inside `tiny_petr_config`'s pc range (xy within ±10 m,
+    z in [0.5, 5]); two cameras (CAM_FRONT +x / CAM_BACK -x), lidar2ego =
+    identity so the lidar frame IS the ego frame, ego translating +x per
+    frame, per-box constant global-frame velocities (so the nuScenes AVE
+    term is learnable from the temporal carry). Boxes are stored 9-dim
+    (x, y, z_bottom, w, l, h, yaw, vx, vy) exactly as the StreamPETR infos
+    carry them (reference: tools/data_converter/nuscenes_converter.py).
+    """
+    import os
+    import pickle
+
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    sh, sw = src_hw
+    f = sw * 150.0 / 192.0          # same 32.6 deg half-FOV as the AV2 twin
+    cx, cy = sw / 2.0, sh / 2.0
+    intr3 = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]])
+    # sensor2lidar rotations: columns = camera axes (x right, y down, z fwd)
+    # expressed in the lidar/ego frame (x fwd, y left, z up)
+    r_fwd = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
+    r_back = np.array([[0.0, 0, -1], [1, 0, 0], [0, -1, 0]])
+    cam_rots = [r_fwd, r_back]
+    cam_t = np.array([0.0, 0.0, 1.5])
+    ident_q = np.array([1.0, 0, 0, 0])
+
+    class_names = ['car', 'truck', 'bus']        # NUSC_CLASSES indices 0/1/3
+    colors = [(60, 220, 60), (220, 60, 60), (60, 60, 220)]
+
+    infos = []
+    for s in range(n_scenes):
+        sgn = np.where(np.arange(n_boxes) % 2 == 0, 1.0, -1.0)
+        y_slots = np.linspace(-1.5, 1.5, n_boxes)
+        # global-frame boxes, gravity-center z (converted to bottom-center
+        # when written, matching the pkl convention)
+        glob = np.stack([
+            sgn * rng.uniform(7.0, 9.5, n_boxes),
+            y_slots + rng.uniform(-0.3, 0.3, n_boxes),
+            rng.uniform(1.0, 2.5, n_boxes),
+            rng.uniform(0.8, 1.6, n_boxes),              # w
+            rng.uniform(0.8, 1.6, n_boxes),              # l
+            rng.uniform(0.8, 1.5, n_boxes),              # h
+            rng.uniform(-np.pi, np.pi, n_boxes),         # yaw
+        ], axis=1)
+        vel = np.stack([sgn * rng.uniform(-0.15, 0.15, n_boxes),
+                        rng.uniform(-0.45, 0.45, n_boxes)], axis=1)
+        dt = 0.5
+        labels = rng.choice(len(class_names), n_boxes)
+        for fi in range(frames_per_scene):
+            ego_t = np.array([fi * 0.1, 0.0, 0.0])
+            if fi > 0:
+                glob = glob.copy()
+                glob[:, :2] = glob[:, :2] + vel * dt
+            ego_boxes = glob.copy()
+            ego_boxes[:, :3] -= ego_t
+            cams = {}
+            for c, cam_name in enumerate(['CAM_FRONT', 'CAM_BACK']):
+                bg = 70 + 60 * (s % 2)
+                img = np.full((sh, sw, 3), bg, np.uint8)
+                img[:: 8 + 4 * (s % 3), :] = 40
+                lidar_from_cam_r, lidar_from_cam_t = cam_rots[c], cam_t
+                cam_from_lidar_r = lidar_from_cam_r.T
+                for bi in range(n_boxes):
+                    p = cam_from_lidar_r @ (ego_boxes[bi, :3]
+                                            - lidar_from_cam_t)
+                    if p[2] < 2.0:
+                        continue
+                    u = f * p[0] / p[2] + cx
+                    v = f * p[1] / p[2] + cy
+                    if not (4 <= u < sw - 4 and 4 <= v < sh - 4):
+                        continue
+                    r_px = max(int(f * ego_boxes[bi, 3] / (2 * p[2])), 2)
+                    shade = float(np.clip(60 + (p[2] - 4.5) * 33.0, 60, 255))
+                    color = tuple(ch * shade / 255.0
+                                  for ch in colors[labels[bi]])
+                    cv2.circle(img, (int(round(u)), int(round(v))), r_px,
+                               color, -1)
+                cams[cam_name] = dict(
+                    data_path=f'scene{s}/{cam_name}/{fi}.jpg',
+                    cam_intrinsic=intr3.copy(),
+                    sensor2lidar_rotation=lidar_from_cam_r.copy(),
+                    sensor2lidar_translation=lidar_from_cam_t.copy(),
+                )
+                path = os.path.join(root, cams[cam_name]['data_path'])
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                cv2.imwrite(path, img)
+            boxes9 = np.concatenate([ego_boxes, vel], axis=1).astype(
+                np.float32)
+            boxes9[:, 2] -= boxes9[:, 5] / 2          # gravity -> bottom z
+            infos.append(dict(
+                scene_token=f'scene{s}',
+                timestamp=int((s * frames_per_scene + fi) * dt * 1e6),
+                lidar2ego_rotation=ident_q.copy(),
+                lidar2ego_translation=np.zeros(3),
+                ego2global_rotation=ident_q.copy(),
+                ego2global_translation=ego_t.copy(),
+                cams=cams,
+                gt_boxes=boxes9,
+                gt_names=np.array([class_names[l] for l in labels]),
+                valid_flag=np.ones(n_boxes, bool),
+            ))
+    with open(info_path, 'wb') as fobj:
+        pickle.dump({'infos': infos}, fobj)
+    return infos
+
+
 def synthetic_batch(cfg: Far3DConfig, batch: int = 1, seed: int = 0,
                     as_dict: bool = False):
     """Build a TrainBatch of plausible fake data."""

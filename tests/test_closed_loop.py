@@ -33,3 +33,22 @@ def test_overfit_reaches_high_map(tmp_path):
     assert curve[0]['mAP'] > 0.2, curve
     assert final['mAP'] >= 0.85, curve
     assert final['CDS'] >= 0.7, curve
+
+
+@pytest.mark.slow
+def test_petr_closed_loop_reaches_high_map(tmp_path):
+    """Same closed loop for the second family: StreamPETR train -> NMS-free
+    decode -> in-house nuScenes protocol. Measured trajectory at this
+    config/seed (docs/CLOSED_LOOP.md): mAP 0.83/NDS 0.82 at iter 1000,
+    0.92/0.92 at 1500, 0.94/0.94 at 2500 — but the toy-scale PETR plateau
+    length varies widely run to run (observed mAP 0.02..0.92 at ~1250
+    before all runs converge by 2500: 0.91..0.94), so only the FINAL value
+    gates. ~7 min of CPU."""
+    from overfit_nusc_demo import run_closed_loop_nusc
+
+    curve = run_closed_loop_nusc(str(tmp_path / 'work'), iters=2500,
+                                 eval_every=1250, lr=2.5e-3)
+    assert curve, 'no evals ran'
+    final = curve[-1]
+    assert final['mAP'] >= 0.75, curve
+    assert final['NDS'] >= 0.7, curve
