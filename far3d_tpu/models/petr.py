@@ -176,6 +176,32 @@ class PETRTransformer(nn.Module):
         return jnp.stack(outs)
 
 
+class FlattenMHSelfAttention(nn.Module):
+    """Per-token degenerate self-attention (petr_transformer.py:987-1041):
+    the reference reshapes (T, B, C) -> (T*B, 1, C) so every token forms its
+    own length-1 sequence and attends only to itself. Softmax over a single
+    key is identically 1, so the q/k projections are mathematically inert
+    (zero gradient) and the module reduces to
+    ``identity + dropout(W_o @ W_v @ x)`` — implemented directly rather than
+    through an attention primitive. Registered-but-unused in the reference's
+    shipped configs; provided for model-family parity."""
+    embed_dims: int = 256
+    num_heads: int = 8          # inert: heads are re-concatenated untouched
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pos=None, identity=None, deterministic: bool = True):
+        if identity is None:
+            identity = x
+        # the reference adds pos into q/k only; v (and thus the output) never
+        # sees it, so it is dropped here rather than computed and discarded
+        del pos
+        v = nn.Dense(self.embed_dims, dtype=x.dtype, name='v_proj')(x)
+        out = nn.Dense(self.embed_dims, dtype=x.dtype, name='out_proj')(v)
+        return identity + nn.Dropout(self.dropout,
+                                     deterministic=deterministic)(out)
+
+
 class FrustumPE(nn.Module):
     """3D frustum position embedding (PE, positional_encoding.py:82-200):
     per-pixel rays sampled at LID depths, transformed to ego space, normalized

@@ -150,3 +150,33 @@ def test_petr_transformer_non_temporal():
     arr = np.asarray(out)
     np.testing.assert_allclose(arr.mean(-1), 0.0, atol=1e-4)
     np.testing.assert_allclose(arr.var(-1), 1.0, atol=1e-2)
+
+
+def test_flatten_mh_self_attention_matches_torch_mha():
+    """FlattenMHSelfAttention claims single-key attention reduces to
+    identity + W_o(W_v x); prove it against torch's real MHA run on the
+    reference's (T*B, 1, C) reshape (petr_transformer.py:1018-1041)."""
+    import torch
+
+    from far3d_tpu.models.petr import FlattenMHSelfAttention
+
+    t, b, c, h = 5, 2, 16, 4
+    rng = np.random.RandomState(0)
+    x = rng.randn(t * b, 1, c).astype(np.float32)
+    pos = rng.randn(t * b, 1, c).astype(np.float32)
+
+    mha = torch.nn.MultiheadAttention(c, h, batch_first=True)
+    with torch.no_grad():
+        ref = x + mha(torch.tensor(x + pos), torch.tensor(x + pos),
+                      torch.tensor(x))[0].numpy()
+
+    mod = FlattenMHSelfAttention(embed_dims=c, num_heads=h, dropout=0.0)
+    wv = mha.in_proj_weight[2 * c:].detach().numpy()
+    bv = mha.in_proj_bias[2 * c:].detach().numpy()
+    wo = mha.out_proj.weight.detach().numpy()
+    bo = mha.out_proj.bias.detach().numpy()
+    variables = {'params': {
+        'v_proj': {'kernel': wv.T, 'bias': bv},
+        'out_proj': {'kernel': wo.T, 'bias': bo}}}
+    out = mod.apply(variables, jnp.asarray(x), pos=jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-6)
