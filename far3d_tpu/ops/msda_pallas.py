@@ -866,22 +866,37 @@ def _partitioned_backward(spatial_shapes):
     return bwd
 
 
+def _single_device() -> bool:
+    # The custom_partitioning wrapper exists purely for sharded meshes; its
+    # call boundary blocks fusion of the sort/unsort wrapper ops with the
+    # surrounding graph and measurably costs ~7% of a train step on one
+    # chip (2.44 -> 2.27 it/s), so bypass it when no mesh can exist.
+    return len(jax.devices()) == 1
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def msda_pallas(value: jax.Array,
                 spatial_shapes: Sequence[Tuple[int, int]],
                 loc: jax.Array,
                 weights: jax.Array) -> jax.Array:
     """Fused deformable sampling (same contract as ops.msda.msda_xla)."""
+    if _single_device():
+        return _forward(value, tuple(spatial_shapes), loc, weights)
     return _partitioned_forward(tuple(spatial_shapes))(value, loc, weights)
 
 
 def _fwd(value, spatial_shapes, loc, weights):
-    return _partitioned_forward(tuple(spatial_shapes))(value, loc, weights), (
-        value, loc, weights)
+    if _single_device():
+        out = _forward(value, tuple(spatial_shapes), loc, weights)
+    else:
+        out = _partitioned_forward(tuple(spatial_shapes))(value, loc, weights)
+    return out, (value, loc, weights)
 
 
 def _bwd(spatial_shapes, res, g):
     value, loc, weights = res
+    if _single_device():
+        return _backward(value, tuple(spatial_shapes), loc, weights, g)
     return _partitioned_backward(tuple(spatial_shapes))(
         value, loc, weights, g)
 
