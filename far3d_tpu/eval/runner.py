@@ -65,13 +65,16 @@ def _jitted_infer(cfg: Far3DConfig):
 
 
 def run_inference(cfg: Far3DConfig, variables, loader: EvalLoader,
-                  score_keep: int = 300) -> List[Dict]:
-    """Stream one rank's shard; returns per-frame detection dicts."""
+                  score_keep: int = 300, quant_tree=None) -> List[Dict]:
+    """Stream one rank's shard; returns per-frame detection dicts.
+
+    quant_tree: optional int8 PTQ backbone (ops/quant.py
+    `quantize_detector_backbone`) — serving mode, swaps the bf16 backbone."""
     infer = _jitted_infer(cfg)
     tstate = init_state(1, cfg.head)
     results = []
     for frame, batch in _upload_ahead(loader):
-        dets, tstate = infer(variables, tstate, batch)
+        dets, tstate = infer(variables, tstate, batch, quant_tree)
         boxes = np.asarray(dets['boxes'][0])
         scores = np.asarray(dets['scores'][0])
         labels = np.asarray(dets['labels'][0])

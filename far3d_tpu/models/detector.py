@@ -46,7 +46,8 @@ class Far3D(nn.Module):
                  dn_ref_points: Optional[jax.Array] = None,
                  dn_valid: Optional[jax.Array] = None,
                  use_gt_depth: bool = False,
-                 train: bool = False) -> Dict[str, Any]:
+                 train: bool = False,
+                 quant_backbone: Optional[Dict] = None) -> Dict[str, Any]:
         cfg = self.cfg
         b, n, h, w, _ = images.shape
         shapes = level_shapes(cfg)
@@ -59,7 +60,15 @@ class Far3D(nn.Module):
             images = ((images.astype(jnp.float32) - mean) / std).astype(
                 jnp.bfloat16)
         x = images.reshape(b * n, h, w, 3)
-        stages = VoVNet(cfg.backbone, name='backbone')(x)
+        if quant_backbone is not None:
+            # int8 PTQ serving path (ops/quant.py): pass the quantized tree
+            # as a call argument, never a closure constant (CLAUDE.md)
+            from ..ops.quant import quant_vovnet_forward, quantize_input
+            stages = quant_vovnet_forward(
+                cfg.backbone, quant_backbone,
+                quantize_input(x, quant_backbone['s0']))
+        else:
+            stages = VoVNet(cfg.backbone, name='backbone')(x)
         feats = FPN(cfg.neck, name='neck')(stages)       # 4 x (BN, Hl, Wl, C)
 
         outs2d = YoloxHead2D(cfg.roi2d, cfg.depthnet, name='roi_head')(

@@ -103,5 +103,9 @@ def run_training(cfg: Far3DConfig,
             ckpt.save(it + 1, state)
             if eval_fn is not None and (it + 1) % tc.checkpoint_every == 0:
                 eval_fn(state)
+    # final state is always restorable, even when max_iters is not a
+    # checkpoint_every multiple (orbax skips off-interval saves otherwise)
+    if ckpt.latest_step() != int(state.step) and int(state.step) > 0:
+        ckpt.save(int(state.step), state, force=True)
     ckpt.close()
     return state

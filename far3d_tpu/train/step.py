@@ -177,13 +177,15 @@ def make_infer_step(cfg: Far3DConfig):
     from ..models.detector import decode_detections
     model = Far3D(cfg)
 
-    def infer_step(variables, tstate: TemporalState, batch: Dict[str, Any]):
+    def infer_step(variables, tstate: TemporalState, batch: Dict[str, Any],
+                   quant_tree=None):
         out = model.apply(
             variables, images=batch['images'], lidar2img=batch['lidar2img'],
             intrinsics=batch['intrinsics'], extrinsics=batch['extrinsics'],
             state=tstate, prev_exists=batch['prev_exists'],
             timestamp=batch['timestamp'], ego_pose=batch['ego_pose'],
-            ego_pose_inv=batch['ego_pose_inv'], train=False)
+            ego_pose_inv=batch['ego_pose_inv'], train=False,
+            quant_backbone=quant_tree)
         dets = decode_detections(out['all_cls_scores'][-1],
                                  out['all_bbox_preds'][-1],
                                  out['query_valid'], cfg)

@@ -27,8 +27,8 @@ class CheckpointManager:
                 save_interval_steps=save_interval,
                 create=True))
 
-    def save(self, step: int, state: Any):
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+    def save(self, step: int, state: Any, force: bool = False):
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
         self._mgr.wait_until_finished()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:

@@ -74,8 +74,10 @@ def test_train_loop_end_to_end(disk_dataset):
     import dataclasses
     ann, root = disk_dataset
     cfg = tiny_test_config()
+    # checkpoint_every > max_iters: the final state must still be saved via
+    # the off-interval force-save in run_training (orbax would skip it)
     cfg = cfg.replace(train=dataclasses.replace(cfg.train,
-                                                checkpoint_every=1))
+                                                checkpoint_every=3))
     from far3d_tpu.train.runner import run_training
 
     dataset = AV2SequenceDataset(ann, root, split='train', seq_split_num=2)

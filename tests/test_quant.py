@@ -1,0 +1,141 @@
+"""int8 PTQ backbone (ops/quant.py) — serving-mode quantization.
+
+Beyond-reference TPU feature (the reference has no quantized path). Checks:
+the calibrate -> fold-BN -> per-channel-quantize -> int8-forward pipeline
+reproduces the float backbone closely, and the detector's serving hook
+(`quant_backbone=` call argument) runs end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from far3d_tpu.config import tiny_test_config
+from far3d_tpu.models.vovnet import VoVNet
+from far3d_tpu.ops.quant import (build_quant_vovnet, calibrate_vovnet,
+                                 input_scale_from_norm, quant_vovnet_forward,
+                                 quantize_input)
+
+
+def _randomized_vars(model, x, seed=0):
+    """init, then randomize BN affine + running stats so BN folding is
+    exercised with non-identity values."""
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), x)
+    rng = np.random.RandomState(seed + 1)
+
+    def perturb(path, leaf):
+        name = path[-1].key
+        arr = np.asarray(leaf, np.float32)
+        if name == 'scale':
+            return jnp.asarray(1.0 + 0.3 * rng.randn(*arr.shape), leaf.dtype)
+        if name == 'bias':
+            return jnp.asarray(0.1 * rng.randn(*arr.shape), leaf.dtype)
+        if name == 'mean':
+            return jnp.asarray(0.05 * rng.randn(*arr.shape), leaf.dtype)
+        if name == 'var':
+            return jnp.asarray(
+                np.exp(0.3 * rng.randn(*arr.shape)), leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(perturb, variables)
+
+
+@pytest.fixture(scope='module')
+def quant_setup():
+    cfg = tiny_test_config()
+    bcfg = cfg.backbone
+    mean, std = cfg.data.img_mean, cfg.data.img_std
+    rng = np.random.RandomState(0)
+
+    def norm_img(seed):
+        u8 = np.random.RandomState(seed).randint(
+            0, 256, (2, 64, 96, 3)).astype(np.float32)
+        return jnp.asarray((u8 - np.asarray(mean)) / np.asarray(std),
+                           jnp.bfloat16)
+
+    model = VoVNet(bcfg)
+    x = norm_img(0)
+    variables = _randomized_vars(model, x)
+    amax = calibrate_vovnet(bcfg, variables, [norm_img(s) for s in (1, 2)])
+    q = build_quant_vovnet(bcfg, variables, amax, mean, std)
+    return cfg, model, variables, q, norm_img
+
+
+def test_input_scale_is_analytic_uint8_range():
+    mean, std = (100.0, 120.0, 140.0), (58.0, 57.0, 57.5)
+    s0 = input_scale_from_norm(mean, std)
+    lo = (0 - np.asarray(mean)) / np.asarray(std)
+    hi = (255 - np.asarray(mean)) / np.asarray(std)
+    assert np.isclose(s0, max(np.abs(lo).max(), np.abs(hi).max()) / 127.0)
+
+
+def test_quant_backbone_matches_float(quant_setup):
+    cfg, model, variables, q, norm_img = quant_setup
+    x = norm_img(3)                       # held out from calibration
+    ref = jax.jit(lambda v, x: model.apply(v, x))(variables, x)
+
+    @jax.jit
+    def qrun(q, x):
+        return quant_vovnet_forward(cfg.backbone, q,
+                                    quantize_input(x, q['s0']))
+
+    out = qrun(q, x)
+    assert len(out) == len(ref)
+    for i, (a, b) in enumerate(zip(out, ref)):
+        assert a.shape == b.shape and a.dtype == jnp.bfloat16
+        af, bf = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.linalg.norm(af - bf) / max(np.linalg.norm(bf), 1e-6)
+        # int8 per-tensor activations: a few % end-to-end is expected; the
+        # real-accuracy bound is the closed-loop eval (docs/CLOSED_LOOP.md)
+        assert rel < 0.08, f'stage {i}: rel err {rel:.4f}'
+        assert np.isfinite(af).all()
+
+
+def test_detector_quant_backbone_hook(quant_setup):
+    """The serving hook: Far3D.apply(..., quant_backbone=q) swaps the
+    backbone for the int8 twin; everything downstream runs unchanged."""
+    from far3d_tpu import Far3D, decode_detections, init_state
+    from far3d_tpu.utils.synthetic import synthetic_batch
+
+    cfg, _, bb_vars, q, _ = quant_setup
+    model = Far3D(cfg)
+    b = 1
+    data = synthetic_batch(cfg, batch=b, as_dict=True)
+    kwargs = dict(
+        images=jnp.asarray(data['images'], jnp.bfloat16),
+        lidar2img=jnp.asarray(data['lidar2img']),
+        intrinsics=jnp.asarray(data['intrinsics']),
+        extrinsics=jnp.asarray(data['extrinsics']),
+        prev_exists=jnp.zeros((b,)),
+        timestamp=jnp.zeros((b,)),
+        ego_pose=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+        ego_pose_inv=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+    )
+    tstate = init_state(b, cfg.head)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), state=tstate,
+                                    **kwargs)
+
+    @jax.jit
+    def step(variables, tstate, q, kw):
+        out = model.apply(variables, state=tstate, quant_backbone=q, **kw)
+        return decode_detections(out['all_cls_scores'][-1],
+                                 out['all_bbox_preds'][-1],
+                                 out['query_valid'], cfg), out['state']
+
+    # graft the randomized backbone's quant tree onto the detector: rebuild
+    # the tree from the DETECTOR's own backbone params so scales line up
+    det_bb = {'params': variables['params']['backbone'],
+              'stats': variables['stats']['backbone']}
+    imgs_n = ((jnp.asarray(data['images'], jnp.float32)
+               - jnp.asarray(cfg.data.img_mean))
+              / jnp.asarray(cfg.data.img_std)).astype(jnp.bfloat16)
+    amax = calibrate_vovnet(
+        cfg.backbone, det_bb, [imgs_n.reshape(-1, *imgs_n.shape[2:])])
+    q_det = build_quant_vovnet(cfg.backbone, det_bb, amax,
+                               cfg.data.img_mean, cfg.data.img_std)
+
+    dets, new_state = step(variables, tstate, q_det, kwargs)
+    assert np.isfinite(np.asarray(dets['boxes'], np.float32)).all()
+    assert np.isfinite(np.asarray(dets['scores'], np.float32)).all()
+    assert dets['boxes'].shape == (b, cfg.head.max_decode_num, 9)

@@ -121,6 +121,10 @@ def main():
     p.add_argument('--host-io', action='store_true',
                    help='stream a native-resolution disk dataset through the '
                         'threaded loader (decode+resize included in timing)')
+    p.add_argument('--quant', action='store_true',
+                   help='int8 PTQ backbone serving mode (ops/quant.py): '
+                        'calibrate on the benchmark input, then time the '
+                        'quantized forward')
     p.add_argument('--set', action='append', default=[], metavar='KEY=VAL',
                    help='dotted config overrides, e.g. decoder.remat=False')
     args = p.parse_args()
@@ -171,31 +175,48 @@ def main():
         ego_pose=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
         ego_pose_inv=jnp.tile(jnp.eye(4)[None], (b, 1, 1)))
     tstate = init_state(b, cfg.head)
+    print('# compiling model.init ...', file=sys.stderr, flush=True)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), state=tstate,
                                     **kwargs)
+
+    quant_tree = None
+    if args.quant:
+        from far3d_tpu.ops.quant import quantize_detector_backbone
+        # float synthetic images are standard-normal, i.e. already in the
+        # detector's post-normalize domain; integer inputs are normalized
+        # inside quantize_detector_backbone
+        print('# calibrating int8 backbone ...', file=sys.stderr, flush=True)
+        quant_tree = quantize_detector_backbone(cfg, variables,
+                                                [kwargs['images']])
+        print('# calibration done', file=sys.stderr, flush=True)
 
     # all inputs are jit ARGUMENTS — closure-captured constants corrupt
     # pallas custom-call programs on this TPU runtime (CLAUDE.md)
     @jax.jit
-    def step(variables, tstate, kw):
-        out = model.apply(variables, state=tstate, **kw)
+    def step(variables, tstate, kw, quant_tree):
+        out = model.apply(variables, state=tstate, quant_backbone=quant_tree,
+                          **kw)
         dets = decode_detections(out['all_cls_scores'][-1],
                                  out['all_bbox_preds'][-1],
                                  out['query_valid'], cfg)
         return dets, out['state']
 
     import numpy as np
+    print('# compiling + warming the step ...', file=sys.stderr, flush=True)
     for _ in range(args.warmup):
-        dets, tstate = step(variables, tstate, kwargs)
+        dets, tstate = step(variables, tstate, kwargs, quant_tree)
     float(np.asarray(dets['scores']).ravel()[0])
+    print('# timing ...', file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        dets, tstate = step(variables, tstate, kwargs)
+        dets, tstate = step(variables, tstate, kwargs, quant_tree)
     float(np.asarray(dets['scores']).ravel()[0])
     dt = time.perf_counter() - t0
     fps = args.iters * b / dt
     print(json.dumps({
-        'metric': 'far3d_7cam_960x640_stream_fps', 'value': round(fps, 4),
+        'metric': 'far3d_7cam_960x640_stream_fps'
+                  + ('_int8' if args.quant else ''),
+        'value': round(fps, 4),
         'unit': 'frames/s/chip', 'imgs_per_s': round(fps * 7, 2),
         'ms_per_frame': round(1000 * dt / (args.iters * b), 2)}))
 

@@ -11,6 +11,7 @@ rank 0 aggregates the AV2 metrics.
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -41,9 +42,18 @@ def main():
                         '(reference --cfg-options)')
     p.add_argument('--tiny', action='store_true',
                    help='tiny test config (CPU-sized; for fixture runs)')
+    p.add_argument('--quant', action='store_true',
+                   help='int8 PTQ backbone serving mode (ops/quant.py): '
+                        'calibrate on the first --quant-calib-frames frames, '
+                        'then evaluate with the quantized backbone')
+    p.add_argument('--quant-calib-frames', type=int, default=8)
     args = p.parse_args()
 
     import jax
+    if os.environ.get('JAX_PLATFORMS') == 'cpu':
+        # honor the env var even where sitecustomize force-registers the
+        # TPU backend (see CLAUDE.md)
+        jax.config.update('jax_platforms', 'cpu')
     import numpy as np
     from far3d_tpu.config import (AV2_CLASS_NAMES, Far3DConfig,
                                   apply_overrides, tiny_test_config)
@@ -99,8 +109,17 @@ def main():
               'enabled' if roi_masks is not None else
               'no map dirs found — falling back to range gating')
 
+    quant_tree = None
+    if args.quant:
+        from far3d_tpu.ops.quant import quantize_detector_backbone
+        calib = [f['images'][None] for _, f in zip(
+            range(args.quant_calib_frames),
+            EvalLoader(dataset, cfg, max_frames=args.quant_calib_frames))]
+        quant_tree = quantize_detector_backbone(cfg, variables, calib)
+        print(f'int8 PTQ backbone: calibrated on {len(calib)} frames')
+
     loader = EvalLoader(dataset, cfg, rank=rank, world_size=world)
-    results = run_inference(cfg, variables, loader)
+    results = run_inference(cfg, variables, loader, quant_tree=quant_tree)
     out = collect_and_evaluate(cfg, dataset, args.results_dir, rank, world,
                                results, eval_range_m=args.eval_range_m,
                                roi_masks=roi_masks)

@@ -8,6 +8,7 @@ Multi-host:  set JAX_COORDINATOR_ADDRESS etc. and launch one process per host;
 
 import argparse
 import logging
+import os
 import sys
 from pathlib import Path
 
@@ -38,20 +39,35 @@ def main():
                         'eval_hooks.py:29-91)')
     p.add_argument('--eval-samples', type=int, default=None,
                    help='cap val frames per in-training eval')
+    p.add_argument('--tiny', action='store_true',
+                   help='tiny train config (CPU-sized; for fixture runs)')
     args = p.parse_args()
 
     import jax
-    from far3d_tpu.config import Far3DConfig, apply_overrides
+    if os.environ.get('JAX_PLATFORMS') == 'cpu':
+        # honor the env var even where sitecustomize force-registers the
+        # TPU backend (see CLAUDE.md)
+        jax.config.update('jax_platforms', 'cpu')
+    from far3d_tpu.config import (Far3DConfig, apply_overrides,
+                                  tiny_test_config)
     from far3d_tpu.data.av2_dataset import AV2SequenceDataset
     from far3d_tpu.data.loader import TrainLoader
     from far3d_tpu.parallel.mesh import init_distributed
     from far3d_tpu.train.runner import run_training
 
-    logging.basicConfig(level=logging.INFO,
-                        format='%(asctime)s %(levelname)s %(message)s')
+    # own handler on the package logger: absl (pulled in by jax) swaps the
+    # root handler lazily at first use, which silences basicConfig-routed
+    # INFO records mid-run
+    handler = logging.StreamHandler()
+    handler.setFormatter(
+        logging.Formatter('%(asctime)s %(levelname)s %(message)s'))
+    pkg_log = logging.getLogger('far3d_tpu')
+    pkg_log.setLevel(logging.INFO)
+    pkg_log.addHandler(handler)
+    pkg_log.propagate = False
     init_distributed()
     import dataclasses
-    cfg = Far3DConfig()
+    cfg = tiny_test_config() if args.tiny else Far3DConfig()
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, seed=args.seed))
     cfg = apply_overrides(cfg, args.overrides)
 
