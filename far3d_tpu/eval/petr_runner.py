@@ -43,22 +43,26 @@ def petr_host_config(cfg: StreamPETRConfig,
                         resize_lim=(r, r), max_gt=160, max_gt_2d=96))
 
 
-def run_inference_petr(cfg: StreamPETRConfig, variables, loader
-                       ) -> List[Dict]:
+def run_inference_petr(cfg: StreamPETRConfig, variables, loader,
+                       quant_tree=None) -> List[Dict]:
     """Stream the loader through a jitted StreamPETR step with the carried
     TemporalState (reset via prev_exists, same recurrence contract as
-    Far3D's eval runner)."""
+    Far3D's eval runner).
+
+    quant_tree: optional int8 PTQ backbone (ops/quant.py
+    `quantize_petr_backbone`) — serving mode, swaps the bf16 backbone."""
     model = StreamPETR(cfg)
     tstate = init_petr_state(1, cfg)
 
     @jax.jit
-    def step(variables, tstate, kw):
+    def step(variables, tstate, kw, quant_tree):
         out = model.apply(variables, images=kw['images'],
                           lidar2img=kw['lidar2img'], state=tstate,
                           prev_exists=kw['prev_exists'],
                           timestamp=kw['timestamp'],
                           ego_pose=kw['ego_pose'],
-                          ego_pose_inv=kw['ego_pose_inv'])
+                          ego_pose_inv=kw['ego_pose_inv'],
+                          quant_backbone=quant_tree)
         dets = decode_boxes(out['all_cls_scores'][-1],
                             out['all_bbox_preds'][-1],
                             out['query_valid'], cfg.max_decode_num,
@@ -70,7 +74,7 @@ def run_inference_petr(cfg: StreamPETRConfig, variables, loader
         kw = {k: jnp.asarray(np.asarray(frame[k])[None])
               for k in ('images', 'lidar2img', 'prev_exists', 'timestamp',
                         'ego_pose', 'ego_pose_inv')}
-        dets, tstate = step(variables, tstate, kw)
+        dets, tstate = step(variables, tstate, kw, quant_tree)
         valid = np.asarray(dets['valid'][0])
         results.append(dict(
             index=frame['index'],

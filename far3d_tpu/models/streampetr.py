@@ -21,7 +21,7 @@ Assembly on top of the shared TPU-native pieces:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -226,7 +226,8 @@ class StreamPETR(nn.Module):
                  timestamp: jax.Array,
                  ego_pose: jax.Array,
                  ego_pose_inv: jax.Array,
-                 deterministic: bool = True) -> Dict[str, Any]:
+                 deterministic: bool = True,
+                 quant_backbone: Optional[Dict] = None) -> Dict[str, Any]:
         c = self.cfg
         b, n, h, w, _ = images.shape
         if jnp.issubdtype(images.dtype, jnp.integer):
@@ -237,7 +238,14 @@ class StreamPETR(nn.Module):
             images = ((images.astype(jnp.float32) - mean) / std).astype(
                 jnp.bfloat16)
         x = images.reshape(b * n, h, w, 3)
-        feats = VoVNet(c.backbone, name='backbone')(x)
+        if quant_backbone is not None:
+            # int8 PTQ serving path (ops/quant.py), same hook as Far3D
+            from ..ops.quant import quant_vovnet_forward, quantize_input
+            feats = quant_vovnet_forward(
+                c.backbone, quant_backbone,
+                quantize_input(x, quant_backbone['s0']))
+        else:
+            feats = VoVNet(c.backbone, name='backbone')(x)
         feats = FPN(c.neck, name='neck')(feats)
         lvl = feats[c.feat_level]
         fh, fw = lvl.shape[1:3]

@@ -177,6 +177,21 @@ def build_quant_vovnet(cfg: BackboneConfig, backbone_vars: Dict,
     return q
 
 
+def _quantize_backbone(backbone_cfg: BackboneConfig, bb_vars: Dict,
+                       img_mean: Sequence[float], img_std: Sequence[float],
+                       calib_images: Sequence[jax.Array]) -> Dict:
+    mean = jnp.asarray(img_mean, jnp.float32)
+    std = jnp.asarray(img_std, jnp.float32)
+    batches = []
+    for img in calib_images:
+        img = jnp.asarray(img)
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            img = (img.astype(jnp.float32) - mean) / std
+        batches.append(img.reshape(-1, *img.shape[-3:]).astype(jnp.bfloat16))
+    amax = calibrate_vovnet(backbone_cfg, bb_vars, batches)
+    return build_quant_vovnet(backbone_cfg, bb_vars, amax, img_mean, img_std)
+
+
 def quantize_detector_backbone(cfg, variables,
                                calib_images: Sequence[jax.Array]) -> Dict:
     """One-call serving API: full detector variables + a few image batches
@@ -187,17 +202,23 @@ def quantize_detector_backbone(cfg, variables,
     """
     bb_vars = {'params': variables['params']['backbone'],
                'stats': variables['stats']['backbone']}
-    mean = jnp.asarray(cfg.data.img_mean, jnp.float32)
-    std = jnp.asarray(cfg.data.img_std, jnp.float32)
-    batches = []
-    for img in calib_images:
-        img = jnp.asarray(img)
-        if jnp.issubdtype(img.dtype, jnp.integer):
-            img = (img.astype(jnp.float32) - mean) / std
-        batches.append(img.reshape(-1, *img.shape[-3:]).astype(jnp.bfloat16))
-    amax = calibrate_vovnet(cfg.backbone, bb_vars, batches)
-    return build_quant_vovnet(cfg.backbone, bb_vars, amax,
-                              cfg.data.img_mean, cfg.data.img_std)
+    return _quantize_backbone(cfg.backbone, bb_vars, cfg.data.img_mean,
+                              cfg.data.img_std, calib_images)
+
+
+def quantize_petr_backbone(cfg, variables,
+                           calib_images: Sequence[jax.Array]) -> Dict:
+    """StreamPETR twin of `quantize_detector_backbone` (the second family
+    shares the VoVNet): pass the tree to
+    `StreamPETR.apply(..., quant_backbone=tree)` /
+    `eval.petr_runner.run_inference_petr(..., quant_tree=tree)`.
+    Normalization constants are the module-level IMG_MEAN/IMG_STD the model
+    itself applies to integer inputs (models/streampetr.py)."""
+    from ..config import IMG_MEAN, IMG_STD
+    bb_vars = {'params': variables['params']['backbone'],
+               'stats': variables['stats']['backbone']}
+    return _quantize_backbone(cfg.backbone, bb_vars, IMG_MEAN, IMG_STD,
+                              calib_images)
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,46 @@ def test_quant_backbone_matches_float(quant_setup):
         assert np.isfinite(af).all()
 
 
+def test_streampetr_quant_backbone_hook():
+    """Second family shares the VoVNet: StreamPETR.apply(quant_backbone=q)
+    runs the int8 backbone end to end through the PETR head."""
+    import jax.numpy as jnp
+
+    from far3d_tpu.models.detector import decode_boxes
+    from far3d_tpu.models.streampetr import (StreamPETR, init_petr_state,
+                                             tiny_petr_config)
+    from far3d_tpu.ops.quant import quantize_petr_backbone
+
+    cfg = tiny_petr_config()
+    model = StreamPETR(cfg)
+    h, w = cfg.input_hw
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, (1, cfg.num_cams, h, w, 3)),
+                         jnp.uint8)
+    kw = dict(
+        images=images,
+        lidar2img=jnp.tile(jnp.eye(4)[None, None], (1, cfg.num_cams, 1, 1)),
+        prev_exists=jnp.zeros((1,)), timestamp=jnp.zeros((1,)),
+        ego_pose=jnp.tile(jnp.eye(4)[None], (1, 1, 1)),
+        ego_pose_inv=jnp.tile(jnp.eye(4)[None], (1, 1, 1)))
+    tstate = init_petr_state(1, cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), state=tstate, **kw)
+
+    q = quantize_petr_backbone(cfg, variables, [images])
+
+    @jax.jit
+    def step(variables, tstate, q, kw):
+        out = model.apply(variables, state=tstate, quant_backbone=q, **kw)
+        return decode_boxes(out['all_cls_scores'][-1],
+                            out['all_bbox_preds'][-1],
+                            out['query_valid'], cfg.max_decode_num,
+                            cfg.post_center_range), out['state']
+
+    dets, _ = step(variables, tstate, q, kw)
+    assert np.isfinite(np.asarray(dets['boxes'], np.float32)).all()
+    assert np.isfinite(np.asarray(dets['scores'], np.float32)).all()
+
+
 def test_detector_quant_backbone_hook(quant_setup):
     """The serving hook: Far3D.apply(..., quant_backbone=q) swaps the
     backbone for the int8 twin; everything downstream runs unchanged."""

@@ -3,6 +3,17 @@
 from __future__ import annotations
 
 
+def honor_jax_platforms():
+    """This image's sitecustomize force-registers the axon TPU backend, so
+    the JAX_PLATFORMS env var alone does not re-point jax (CLAUDE.md).
+    Honor it explicitly — must run BEFORE any backend use."""
+    import os
+    plat = os.environ.get('JAX_PLATFORMS')
+    if plat:
+        import jax
+        jax.config.update('jax_platforms', plat)
+
+
 def add_common_args(p):
     p.add_argument('--data-root', required=True)
     p.add_argument('--ann-file', default=None)

@@ -13,6 +13,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from _common import honor_jax_platforms  # noqa
+honor_jax_platforms()
+
 
 def _make_disk_dataset(root: Path, n_frames: int):
     """Synthetic AV2 clip at native camera resolutions on disk: 1 scene,

@@ -14,6 +14,9 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from _common import honor_jax_platforms  # noqa
+honor_jax_platforms()
+
 
 def iou_xyxy(a, b):
     if len(a) == 0 or len(b) == 0:

@@ -11,11 +11,13 @@ rank 0 aggregates the AV2 metrics.
 """
 
 import argparse
-import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from _common import honor_jax_platforms  # noqa
+honor_jax_platforms()
 
 
 def main():
@@ -50,10 +52,6 @@ def main():
     args = p.parse_args()
 
     import jax
-    if os.environ.get('JAX_PLATFORMS') == 'cpu':
-        # honor the env var even where sitecustomize force-registers the
-        # TPU backend (see CLAUDE.md)
-        jax.config.update('jax_platforms', 'cpu')
     import numpy as np
     from far3d_tpu.config import (AV2_CLASS_NAMES, Far3DConfig,
                                   apply_overrides, tiny_test_config)

@@ -14,6 +14,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from _common import honor_jax_platforms  # noqa
+honor_jax_platforms()
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -27,6 +30,11 @@ def main():
     p.add_argument('--src-wh', type=int, nargs=2, default=(1600, 900),
                    help='source camera resolution (W H)')
     p.add_argument('--max-frames', type=int, default=None)
+    p.add_argument('--quant', action='store_true',
+                   help='int8 PTQ backbone serving mode (ops/quant.py): '
+                        'calibrate on the first --quant-calib-frames frames, '
+                        'then evaluate with the quantized backbone')
+    p.add_argument('--quant-calib-frames', type=int, default=8)
     p.add_argument('--set', dest='overrides', action='append', default=[],
                    metavar='KEY=VAL',
                    help='dotted StreamPETRConfig overrides')
@@ -73,8 +81,18 @@ def main():
     elif not args.random_init:
         raise SystemExit('need --checkpoint or --random-init')
 
+    quant_tree = None
+    if args.quant:
+        from far3d_tpu.ops.quant import quantize_petr_backbone
+        calib = [f['images'][None] for _, f in zip(
+            range(args.quant_calib_frames),
+            EvalLoader(dataset, host_cfg,
+                       max_frames=args.quant_calib_frames))]
+        quant_tree = quantize_petr_backbone(cfg, variables, calib)
+        print(f'int8 PTQ backbone: calibrated on {len(calib)} frames')
+
     loader = EvalLoader(dataset, host_cfg, max_frames=args.max_frames)
-    results = run_inference_petr(cfg, variables, loader)
+    results = run_inference_petr(cfg, variables, loader, quant_tree=quant_tree)
     collect_and_evaluate_nusc(dataset, results)
 
 

@@ -8,11 +8,13 @@ Multi-host:  set JAX_COORDINATOR_ADDRESS etc. and launch one process per host;
 
 import argparse
 import logging
-import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from _common import honor_jax_platforms  # noqa
+honor_jax_platforms()
 
 
 def main():
@@ -44,10 +46,6 @@ def main():
     args = p.parse_args()
 
     import jax
-    if os.environ.get('JAX_PLATFORMS') == 'cpu':
-        # honor the env var even where sitecustomize force-registers the
-        # TPU backend (see CLAUDE.md)
-        jax.config.update('jax_platforms', 'cpu')
     from far3d_tpu.config import (Far3DConfig, apply_overrides,
                                   tiny_test_config)
     from far3d_tpu.data.av2_dataset import AV2SequenceDataset

@@ -16,6 +16,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from _common import honor_jax_platforms  # noqa
+honor_jax_platforms()
+
 
 def main():
     p = argparse.ArgumentParser()

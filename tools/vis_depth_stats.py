@@ -20,6 +20,9 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from _common import honor_jax_platforms  # noqa
+honor_jax_platforms()
+
 from _common import add_common_args, build_dataset, load_variables  # noqa
 
 

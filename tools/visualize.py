@@ -15,6 +15,9 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from _common import honor_jax_platforms  # noqa
+honor_jax_platforms()
+
 
 from far3d_tpu.utils.vis import draw_bev, draw_boxes_camera  # noqa: E402
 
