@@ -108,6 +108,12 @@ def run_closed_loop_nusc(work, iters, eval_every=500, lr=2.5e-3, batch=2,
         loader.stop()
     if not curve or curve[-1]['iter'] != iters:
         eval_fn(state, iters)
+    # final weights restorable (tools/quant_accuracy_nusc.py re-evaluates
+    # the same checkpoint under the int8 backbone)
+    from far3d_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(work)
+    mgr.save(iters, state, force=True)
+    mgr.close()
     return curve
 
 
