@@ -7,6 +7,7 @@ with 5 warmup + timed loop). vs_baseline = our frames/s / 0.914.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -15,7 +16,25 @@ import jax.numpy as jnp
 BASELINE_FPS = 6.4 / 7.0  # reference: 6.4 img/s over 7-camera frames
 
 
+def _wait_for_backend(tries: int = 5, delay_s: float = 45.0):
+    """The tunneled TPU backend occasionally fails init with a transient
+    UNAVAILABLE; retry before giving up on the whole benchmark run."""
+    for i in range(tries):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if i == tries - 1:
+                raise
+            print(f'# backend init failed ({e}); retry {i + 1}/{tries} '
+                  f'in {delay_s:.0f}s', file=sys.stderr, flush=True)
+            from jax._src import api as _api
+            _api.clear_backends()
+            time.sleep(delay_s)
+
+
 def main():
+    _wait_for_backend()
     from far3d_tpu import Far3D, Far3DConfig, decode_detections, init_state
     from far3d_tpu.utils.synthetic import synthetic_batch
 
