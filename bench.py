@@ -57,11 +57,29 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), state=tstate,
                                     **kwargs)
 
+    # Serving mode: int8 PTQ backbone (ops/quant.py). Accuracy is bounded
+    # closed-loop for both families (docs/SERVING.md: Far3D int8 mAP 0.8993
+    # vs bf16 0.8918; StreamPETR -0.0018 mAP / -0.0024 NDS — within harness
+    # noise). Fall back to the bf16 path if quantization fails so the driver
+    # always gets a number.
+    mode = 'int8_ptq_backbone'
+    quant_tree = None
+    try:
+        from far3d_tpu.ops.quant import quantize_detector_backbone
+        quant_tree = quantize_detector_backbone(cfg, variables,
+                                                [kwargs['images']])
+    except Exception as e:  # pragma: no cover - defensive serving fallback
+        print(f'# int8 calibration failed ({e!r}); falling back to bf16',
+              file=sys.stderr, flush=True)
+        mode = 'bf16'
+        quant_tree = None
+
     # every input is a jit ARGUMENT: closure-captured constants silently
     # corrupt pallas custom-call programs on this TPU runtime (CLAUDE.md)
     @jax.jit
-    def step(variables, tstate, kw):
-        out = model.apply(variables, state=tstate, **kw)
+    def step(variables, tstate, kw, quant_tree):
+        out = model.apply(variables, state=tstate, quant_backbone=quant_tree,
+                          **kw)
         dets = decode_detections(out['all_cls_scores'][-1],
                                  out['all_bbox_preds'][-1],
                                  out['query_valid'], cfg)
@@ -70,16 +88,16 @@ def main():
     import numpy as np
     # warmup (compile); note jax.block_until_ready does NOT sync on this
     # image's TPU runtime — a host fetch is the only reliable barrier
-    dets, tstate = step(variables, tstate, kwargs)
+    dets, tstate = step(variables, tstate, kwargs, quant_tree)
     float(np.asarray(dets['scores']).ravel()[0])
     for _ in range(4):
-        dets, tstate = step(variables, tstate, kwargs)
+        dets, tstate = step(variables, tstate, kwargs, quant_tree)
     float(np.asarray(dets['scores']).ravel()[0])
 
     n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        dets, tstate = step(variables, tstate, kwargs)
+        dets, tstate = step(variables, tstate, kwargs, quant_tree)
     float(np.asarray(dets['scores']).ravel()[0])
     dt = time.perf_counter() - t0
     fps = n_iters / dt
@@ -89,6 +107,7 @@ def main():
         'value': round(fps, 4),
         'unit': 'frames/s/chip',
         'vs_baseline': round(fps / BASELINE_FPS, 4),
+        'mode': mode,
     }))
 
 
