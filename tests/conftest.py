@@ -11,9 +11,12 @@ flags = os.environ.get('XLA_FLAGS', '')
 if 'host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_test_cache')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
-
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# Persistent compile cache: jax 0.9.0 ignores the JAX_COMPILATION_CACHE_DIR
+# env var — only the explicit config works (probed round 4). Without it every
+# suite run recompiled everything from scratch (~1 h on this 1-vCPU box).
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('FAR3D_TEST_CACHE', '/tmp/jax_test_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)

@@ -140,7 +140,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from far3d_tpu import Far3D, Far3DConfig, decode_detections, init_state
+    from far3d_tpu.utils.backend import wait_for_backend
     from far3d_tpu.utils.synthetic import synthetic_batch
+    wait_for_backend()
 
     from far3d_tpu.config import apply_overrides
     cfg = apply_overrides(Far3DConfig(), args.set)

@@ -40,6 +40,8 @@ def main():
     from far3d_tpu.models.detector import decode_boxes
     from far3d_tpu.models.streampetr import (StreamPETR, StreamPETRConfig,
                                              init_petr_state)
+    from far3d_tpu.utils.backend import wait_for_backend
+    wait_for_backend()
 
     cfg = apply_overrides(StreamPETRConfig(), args.overrides)
     model = StreamPETR(cfg)
