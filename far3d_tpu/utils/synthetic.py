@@ -57,9 +57,13 @@ def make_learnable_dataset(info_path: str, root: str, n_scenes: int = 2,
     cx, cy = sw / 2.0, sh / 2.0
     intr3 = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]])
     # cam->ego rotations: columns = camera x (right), y (down), z (forward)
-    # expressed in ego axes (x fwd, y left, z up)
-    r_fwd = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]]).T
-    r_back = np.array([[0.0, 0, -1], [1, 0, 0], [0, -1, 0]]).T
+    # expressed in ego axes (x fwd, y left, z up). NOTE: an erroneous .T here
+    # (fixed round 4) used to flip these to ego->cam, which put every box
+    # behind the cameras — no blob was ever drawn and the closed loop was
+    # learnable only through scene/time memorization. The nuScenes twin
+    # (make_learnable_nusc_dataset) always had the correct orientation.
+    r_fwd = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
+    r_back = np.array([[0.0, 0, -1], [1, 0, 0], [0, -1, 0]])
     cam_rots = [r_fwd, r_back]
     cam_t = np.array([0.0, 0.0, 1.5])
 
@@ -173,6 +177,155 @@ def make_learnable_dataset(info_path: str, root: str, n_scenes: int = 2,
                         [Far3DConfig().class_names[class_ids[l]]
                          for l in labels]),
                     num_interior_pts=np.full(n_boxes, 10),
+                ),
+                gt2d_infos=dict(
+                    gt_2dbboxes=g2d_boxes,
+                    gt_2dlabels=g2d_labels,
+                    centers2d=g2d_centers,
+                    depths=g2d_depths,
+                ),
+            ))
+    with open(info_path, 'wb') as fobj:
+        pickle.dump({'infos': infos}, fobj)
+    return infos
+
+
+def make_learnable_dataset_fullsize(info_path: str, root: str,
+                                    n_scenes: int = 2,
+                                    frames_per_scene: int = 8, seed: int = 0,
+                                    n_cams: int = 7, boxes_per_cam: int = 2,
+                                    depth_range=(12.0, 32.0)):
+    """Production-scale twin of `make_learnable_dataset` for the FULL-SIZE
+    on-chip closed loop (tools/overfit_full.py): 7 ring cameras at native AV2
+    resolutions (portrait 2048x1550 front camera + six landscape 1550x2048,
+    f=1700), `boxes_per_cam` car-sized boxes per camera frustum at
+    12-32 m, depth encoded in blob shade, class in color, scene identity in
+    the background fingerprint. Exercises the real host pipeline (portrait
+    pre-rotation, resize/crop, LID depth painting at production bins) and the
+    production model shapes end to end.
+    """
+    import os
+    import pickle
+
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    f = 1700.0
+    cam_t = np.array([0.0, 0.0, 1.5])
+    d_lo, d_hi = depth_range
+
+    class_ids = [15, 5, 20]        # REGULAR_VEHICLE, BUS, TRUCK
+    colors = [(60, 220, 60), (220, 60, 60), (60, 60, 220)]
+
+    # ring of cameras; cam 0 is the portrait front camera
+    cam_geo = []
+    for c in range(n_cams):
+        yaw = 2 * np.pi * c / n_cams
+        fwd = np.array([np.cos(yaw), np.sin(yaw), 0.0])
+        right = np.array([np.sin(yaw), -np.cos(yaw), 0.0])
+        down = np.array([0.0, 0.0, -1.0])
+        rot = np.stack([right, down, fwd], axis=1)   # cam->ego columns
+        sh, sw = (2048, 1550) if c == 0 else (1550, 2048)
+        cam_geo.append((rot, sh, sw, fwd, right))
+
+    infos = []
+    for s in range(n_scenes):
+        # per-camera boxes: along the camera axis at d in depth_range with a
+        # lateral offset well inside the frustum (half-FOV 24.5 deg portrait /
+        # 31 deg landscape at f=1700) so ego drift never hides a GT
+        boxes, labels = [], []
+        for c in range(n_cams):
+            _, _, _, fwd, right = cam_geo[c]
+            for _ in range(boxes_per_cam):
+                d = rng.uniform(d_lo, d_hi)
+                lat = rng.uniform(-0.18, 0.18) * d
+                ctr = fwd * d + right * lat
+                boxes.append([ctr[0], ctr[1], rng.uniform(0.8, 2.2),
+                              rng.uniform(1.8, 2.2),    # w
+                              rng.uniform(4.0, 5.0),    # l
+                              rng.uniform(1.4, 1.8),    # h
+                              rng.uniform(-np.pi, np.pi)])
+                labels.append(rng.randint(len(class_ids)))
+        city_boxes = np.asarray(boxes)
+        labels = np.asarray(labels)
+        nb = len(city_boxes)
+        vel = np.stack([rng.uniform(-0.3, 0.3, nb),
+                        rng.uniform(-0.3, 0.3, nb),
+                        np.zeros(nb)], axis=1)
+        dt = 0.5
+        for fi in range(frames_per_scene):
+            ego = np.eye(4)
+            ego[0, 3] = fi * 0.1
+            city_boxes = city_boxes.copy()
+            if fi > 0:
+                city_boxes[:, :3] = city_boxes[:, :3] + vel * dt
+            ego_inv = np.linalg.inv(ego)
+            ego_boxes = city_boxes.copy()
+            ego_boxes[:, :3] = (ego_inv[:3, :3] @ city_boxes[:, :3].T).T \
+                + ego_inv[:3, 3]
+            cam_infos = {}
+            g2d_boxes, g2d_labels, g2d_centers, g2d_depths = [], [], [], []
+            for c in range(n_cams):
+                rot, sh, sw, _, _ = cam_geo[c]
+                cx, cy = sw / 2.0, sh / 2.0
+                intr3 = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]])
+                ego_cam = np.eye(4)
+                ego_cam[:3, :3] = rot
+                ego_cam[:3, 3] = cam_t
+                cam_infos[f'cam{c}'] = dict(
+                    fpath=f'scene{s}/cam{c}/{fi}.jpg',
+                    intrinsics=intr3.copy(),
+                    ego_SE3_cam=ego_cam,
+                    city_SE3_ego_cam_t=ego.copy(),
+                    cam_timestamp_ns=fi * int(1e8),
+                )
+                bg = 70 + 60 * (s % 2)
+                img = np.full((sh, sw, 3), bg, np.uint8)
+                img[:: 32 + 16 * (s % 3), :] = 40
+                cam_from_ego = np.linalg.inv(ego_cam)
+                bx, lb, ctr, dp = [], [], [], []
+                for bi in range(nb):
+                    p = cam_from_ego[:3, :3] @ ego_boxes[bi, :3] \
+                        + cam_from_ego[:3, 3]
+                    if p[2] < 2.0:
+                        continue
+                    u = f * p[0] / p[2] + cx
+                    v = f * p[1] / p[2] + cy
+                    if not (8 <= u < sw - 8 and 8 <= v < sh - 8):
+                        continue
+                    r_px = int(np.clip(f * ego_boxes[bi, 3] / (2 * p[2]),
+                                       6, 160))
+                    # shade encodes metric depth over the full depth range
+                    shade = float(np.clip(
+                        60 + (p[2] - d_lo) * 195.0 / (d_hi - d_lo), 60, 255))
+                    color = tuple(col * shade / 255.0
+                                  for col in colors[labels[bi]])
+                    cv2.circle(img, (int(round(u)), int(round(v))), r_px,
+                               color, -1)
+                    bx.append([max(u - 2 * r_px, 0), max(v - 2 * r_px, 0),
+                               min(u + 2 * r_px, sw - 1),
+                               min(v + 2 * r_px, sh - 1)])
+                    lb.append(class_ids[labels[bi]])
+                    ctr.append([u, v])
+                    dp.append(p[2])
+                g2d_boxes.append(np.asarray(bx, np.float32).reshape(-1, 4))
+                g2d_labels.append(np.asarray(lb, np.int64))
+                g2d_centers.append(np.asarray(ctr, np.float32).reshape(-1, 2))
+                g2d_depths.append(np.asarray(dp, np.float32))
+                path = os.path.join(root, cam_infos[f'cam{c}']['fpath'])
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 92])
+            infos.append(dict(
+                scene_id=f'scene{s}',
+                lidar_timestamp_ns=fi * int(1e8),
+                city_SE3_ego_lidar_t=ego.copy(),
+                cam_infos=cam_infos,
+                gt3d_infos=dict(
+                    gt_boxes=ego_boxes.astype(np.float32),
+                    gt_names=np.array(
+                        [Far3DConfig().class_names[class_ids[l]]
+                         for l in labels]),
+                    num_interior_pts=np.full(nb, 10),
                 ),
                 gt2d_infos=dict(
                     gt_2dbboxes=g2d_boxes,
