@@ -1,11 +1,15 @@
 """Auction matcher vs scipy Hungarian oracle."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-from far3d_tpu.train.matching import auction_match, hungarian_match
+from far3d_tpu.train.matching import (BIG_COST, auction_match,
+                                      hungarian_match,
+                                      hungarian_match_callback)
 
 
 def test_auction_near_optimal():
@@ -83,3 +87,62 @@ def test_auction_detr_scale_vs_scipy():
     gaps = np.asarray(gaps)
     assert gaps.mean() < 0.005, f'mean gap {gaps.mean():.4%}'
     assert gaps.max() < 0.015, f'worst gap {gaps.max():.4%}'
+
+
+def _run_short_training(n_iters=25, matcher=None, monkeypatch=None):
+    """Same tiny-config short training as test_learning, optionally with the
+    matcher swapped in both call sites (losses3d + dn import it by name)."""
+    from far3d_tpu.config import tiny_test_config
+    from far3d_tpu.train import dn as dn_mod
+    from far3d_tpu.train import losses3d as l3d_mod
+    from far3d_tpu.train.step import create_train_state, make_train_step
+    from far3d_tpu.utils.synthetic import synthetic_batch
+
+    if matcher is not None:
+        monkeypatch.setattr(l3d_mod, 'hungarian_match', matcher)
+        monkeypatch.setattr(dn_mod, 'hungarian_match', matcher)
+    cfg = tiny_test_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, lr=2e-3, warmup_iters=1, use_grid_mask=False))
+    state, tstate = create_train_state(cfg, jax.random.PRNGKey(0), batch=1)
+    batch = synthetic_batch(cfg, batch=1, seed=3)
+    step = jax.jit(make_train_step(cfg, use_gt_depth=True))
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for _ in range(n_iters):
+        state, _, metrics = step(state, tstate, batch, rng)
+        losses.append(float(np.asarray(metrics['total_loss'])))
+    return np.asarray(losses)
+
+
+def test_training_trajectory_auction_vs_scipy(monkeypatch):
+    """Training-semantics equivalence of the on-device auction matcher
+    (VERDICT r3 weak #6): the SAME short training run twice — once with the
+    shipped auction solver, once with an exact scipy Hungarian host callback
+    — must produce near-identical loss trajectories. The auction solver is
+    eps-suboptimal on ties, so the matched sets can differ on a few
+    (query, gt) pairs; the assertion bounds the effect on learning:
+      * first-iter losses agree to 2% (identical params, near-identical
+        matches on the very first cost matrices)
+      * final losses (mean of last 5) agree to 10%
+      * both trajectories decrease by > 20%
+    Reference analogue being replaced: hungarian_assigner_3d.py:73-82
+    (scipy on CPU per sample per layer)."""
+
+    def scipy_matcher(cost, col_valid=None):
+        if col_valid is not None:
+            cost = jnp.where(col_valid[..., None, :], cost, BIG_COST)
+        return hungarian_match_callback(cost)
+
+    auction_losses = _run_short_training()
+    scipy_losses = _run_short_training(matcher=scipy_matcher,
+                                       monkeypatch=monkeypatch)
+    assert np.isfinite(auction_losses).all()
+    assert np.isfinite(scipy_losses).all()
+    assert abs(auction_losses[0] - scipy_losses[0]) < 0.02 * scipy_losses[0], (
+        auction_losses[0], scipy_losses[0])
+    a_final = auction_losses[-5:].mean()
+    s_final = scipy_losses[-5:].mean()
+    assert abs(a_final - s_final) < 0.10 * s_final, (a_final, s_final)
+    assert a_final < auction_losses[0] * 0.8
+    assert s_final < scipy_losses[0] * 0.8

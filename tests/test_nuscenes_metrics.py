@@ -186,6 +186,117 @@ def test_nds_formula():
         (5 * means['mAP'] + tp_terms) / 10.0, abs=1e-9)
 
 
+def test_known_answer_hand_derived_nds():
+    """External-oracle fixture: every expected number below was derived BY
+    HAND on paper from the published devkit algorithm (nuscenes-devkit
+    detection/algo.py `accumulate`/`calc_ap`/`calc_tp`, config
+    detection_cvpr_2019) — not by running any code in this repository.
+
+    Scenario (one sample, class car): 2 GTs at (0,0) and (10,0), size
+    (2,2,2), yaw 0, velocity (0,0), attr vehicle.parked. ONE detection,
+    score 0.9, at (1,0) — BEV distance exactly 1.0 m to GT#1 — same size
+    and yaw, velocity (3,4), attr vehicle.parked.
+
+    Hand derivation:
+      * matching is strict `dist < threshold`, so d=1.0 is a FP at the
+        0.5 m AND 1.0 m thresholds -> AP@0.5 = AP@1 = 0.
+      * at 2 m / 4 m: one TP, npos=2 -> the single PR operating point is
+        (recall 0.5, precision 1.0). np.interp onto the 101-point recall
+        grid left-clamps to 1.0 for r <= 0.5 (51 points) and right-fills 0
+        beyond. calc_ap drops the first 11 points, leaving 40 points of
+        precision 1.0 among 90: AP = mean(max(0, p - 0.1)) / 0.9
+        = (40 x 0.9 / 90) / 0.9 = 0.4 / 0.9 = 4/9.
+      * class AP = (0 + 0 + 4/9 + 4/9) / 4 = 2/9.
+      * TP errors at the 2 m threshold (curves are constant since there is
+        a single match): ATE = 1.0, ASE = 0 (identical size), AOE = 0,
+        AVE = hypot(3,4) = 5.0, AAE = 0 (attributes agree).
+      * NDS = (5*mAP + sum(1 - min(1, err))) / 10
+            = (5*(2/9) + (1-1) + (1-0) + (1-0) + (1-min(1,5)) + (1-0)) / 10
+            = (10/9 + 3) / 10 = 37/90.
+    """
+    parked = NUSC_ATTRIBUTES.index('vehicle.parked')
+    gt = np.zeros((2, 9))
+    gt[:, 3:6] = 2.0
+    gt[1, 0] = 10.0
+    dt = np.zeros((1, 9))
+    dt[0, 0] = 1.0
+    dt[0, 3:6] = 2.0
+    dt[0, 7:9] = (3.0, 4.0)
+    dts = [dict(sample_token='s', boxes=dt, scores=np.array([0.9]),
+                labels=np.array([0]), attrs=np.array([parked]))]
+    gts = [dict(sample_token='s', boxes=gt, labels=np.array([0, 0]),
+                attrs=np.array([parked, parked]))]
+    summary, means = evaluate_nuscenes(dts, gts)
+    row = summary['car']
+    assert row['AP@0.5'] == pytest.approx(0.0, abs=1e-12)
+    assert row['AP@1'] == pytest.approx(0.0, abs=1e-12)
+    assert row['AP@2'] == pytest.approx(4.0 / 9.0, abs=1e-12)
+    assert row['AP@4'] == pytest.approx(4.0 / 9.0, abs=1e-12)
+    assert row['AP'] == pytest.approx(2.0 / 9.0, abs=1e-12)
+    assert row['ATE'] == pytest.approx(1.0, abs=1e-12)
+    assert row['ASE'] == pytest.approx(0.0, abs=1e-12)
+    assert row['AOE'] == pytest.approx(0.0, abs=1e-12)
+    assert row['AVE'] == pytest.approx(5.0, abs=1e-12)
+    assert row['AAE'] == pytest.approx(0.0, abs=1e-12)
+    assert means['NDS'] == pytest.approx(37.0 / 90.0, abs=1e-12)
+
+
+def test_known_answer_yaw_flip_nds():
+    """External-oracle fixture #2 (hand-derived): a perfect detection except
+    a pi yaw flip. For CAR (period 2pi): AOE = pi saturates its NDS term to
+    0, everything else perfect -> NDS = (5 + 1+1+0+1+1)/10 = 0.9 exactly.
+    For BARRIER (period pi): AOE = 0, and AVE/AAE are excluded by the
+    protocol so NDS renormalizes over 8 terms -> (5 + 1+1+1)/8 = 1.0."""
+    parked = NUSC_ATTRIBUTES.index('vehicle.parked')
+    gt = np.zeros((1, 9))
+    gt[0, 0] = 5.0
+    gt[0, 3:6] = 1.5
+    dt = gt.copy()
+    dt[0, 6] = np.pi
+
+    def run(lbl, attrs):
+        return evaluate_nuscenes(
+            [dict(sample_token='s', boxes=dt, scores=np.array([0.9]),
+                  labels=np.array([lbl]), attrs=attrs)],
+            [dict(sample_token='s', boxes=gt, labels=np.array([lbl]),
+                  attrs=attrs)])
+
+    _, m_car = run(NUSC_CLASS_NAMES.index('car'), np.array([parked]))
+    _, m_bar = run(NUSC_CLASS_NAMES.index('barrier'), np.array([0]))
+    assert m_car['NDS'] == pytest.approx(0.9, abs=1e-12)
+    assert m_bar['NDS'] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_default_attribute_heuristic_full_table():
+    """The complete mmdet3d NuScenesDataset._format_bbox decision table
+    (transcribed from the published mmdet3d source, not from this repo):
+    speed > 0.2 m/s vehicles -> moving, two-wheelers -> with_rider; slow
+    pedestrians -> standing, slow buses -> stopped; otherwise the
+    DefaultAttribute map (parked / without_rider / moving / '')."""
+    cases = [
+        ('car', 0.3, 'vehicle.moving'),
+        ('car', 0.1, 'vehicle.parked'),
+        ('truck', 0.3, 'vehicle.moving'),
+        ('trailer', 0.1, 'vehicle.parked'),
+        ('construction_vehicle', 0.1, 'vehicle.parked'),
+        ('bus', 0.5, 'vehicle.moving'),
+        ('bus', 0.1, 'vehicle.stopped'),
+        ('motorcycle', 0.5, 'cycle.with_rider'),
+        ('motorcycle', 0.1, 'cycle.without_rider'),
+        ('bicycle', 0.5, 'cycle.with_rider'),
+        ('bicycle', 0.1, 'cycle.without_rider'),
+        ('pedestrian', 0.5, 'pedestrian.moving'),
+        ('pedestrian', 0.1, 'pedestrian.standing'),
+        ('barrier', 0.5, ''),
+        ('traffic_cone', 0.0, ''),
+    ]
+    labels = np.array([NUSC_CLASS_NAMES.index(c) for c, _, _ in cases])
+    vel = np.array([[sp, 0.0] for _, sp, _ in cases])
+    attrs = default_attributes(NUSC_CLASS_NAMES, labels, vel)
+    for (cls, sp, want), a in zip(cases, attrs):
+        assert NUSC_ATTRIBUTES[a] == want, (cls, sp)
+
+
 def test_nds_renormalizes_without_gt_attributes():
     """No real GT attributes anywhere -> AAE n/a, NDS over 9 terms; perfect
     predictions still score 1.0."""
