@@ -95,6 +95,38 @@ def draw_boxes_2d(img: np.ndarray, boxes_xyxy: np.ndarray,
     return img
 
 
+def compose_camera_grid(images: Sequence[np.ndarray], cols: int = 3,
+                        tile_w: int = 400,
+                        bev: Optional[np.ndarray] = None) -> np.ndarray:
+    """Surround-view composite (reference: tools/visual_nuscenes.py's 6-cam +
+    BEV panel rendering): scale each camera to a fixed tile width, lay them
+    out row-major in `cols` columns, and append the BEV canvas (scaled to the
+    grid height) on the right."""
+    import cv2
+    tiles = []
+    tile_h = None
+    for img in images:
+        h, w = img.shape[:2]
+        th = int(round(h * tile_w / w))
+        tile_h = th if tile_h is None else tile_h
+        t = cv2.resize(img, (tile_w, th))
+        if th != tile_h:     # mixed aspect ratios: pad/crop to the first tile
+            t = cv2.resize(img, (tile_w, tile_h))
+        tiles.append(t)
+    rows = []
+    for r in range(0, len(tiles), cols):
+        row = tiles[r:r + cols]
+        while len(row) < cols:
+            row.append(np.zeros_like(tiles[0]))
+        rows.append(np.concatenate(row, axis=1))
+    grid = np.concatenate(rows, axis=0)
+    if bev is not None:
+        gh = grid.shape[0]
+        bw = int(round(bev.shape[1] * gh / bev.shape[0]))
+        grid = np.concatenate([grid, cv2.resize(bev, (bw, gh))], axis=1)
+    return grid
+
+
 def depth_color(depth: np.ndarray, d_max: float = 60.0) -> np.ndarray:
     """Depth (m) -> BGR color, near=red..far=blue (plasma-like ramp)."""
     t = np.clip(np.asarray(depth, np.float32) / d_max, 0.0, 1.0)

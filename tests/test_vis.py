@@ -90,3 +90,41 @@ def test_decoder_sows_sampling_intermediates():
         per_group = np.asarray(w.sum(axis=(0, 3, 4)))
         np.testing.assert_allclose(per_group,
                                    np.ones_like(per_group), rtol=1e-3)
+
+
+def test_nusc_composite_render(tmp_path):
+    """tools/visualize_nusc.py's composite renderer (reference counterpart:
+    tools/visual_nuscenes.py 6-cam + BEV composite) on the synthetic
+    nuScenes disk fixture."""
+    cv2 = pytest.importorskip('cv2')  # noqa: F841
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / 'tools'))
+    from visualize_nusc import render_nusc_frame
+
+    from far3d_tpu.data.nuscenes_dataset import NuScenesSequenceDataset
+    from far3d_tpu.utils.synthetic import make_learnable_nusc_dataset
+
+    ann = tmp_path / 'infos.pkl'
+    make_learnable_nusc_dataset(str(ann), str(tmp_path), n_scenes=1,
+                                frames_per_scene=2)
+    dataset = NuScenesSequenceDataset(str(ann), str(tmp_path),
+                                      seq_split_num=1)
+    rec = dataset.get_frame(0)
+    n_cams = len(rec['img_paths'])
+    # a fake decode-order detection (x, y, z_bottom, w, l, h, yaw, vx, vy)
+    det = dict(boxes=np.array([[8.0, 0.0, 1.0, 1.2, 1.0, 1.2, 0.3, 0, 0]]),
+               scores=np.array([0.9]), labels=np.array([0]))
+    comp = render_nusc_frame(rec, det, score_thr=0.3)
+    assert comp.ndim == 3 and comp.dtype == np.uint8
+    # grid: ceil(n_cams/3) rows of 3 tiles + BEV panel appended on the right
+    rows = -(-n_cams // 3)
+    assert comp.shape[0] % rows == 0
+    tile_h = comp.shape[0] // rows
+    assert comp.shape[1] > 3 * 400  # 3 columns of 400 px + BEV
+    assert comp.any()
+    # empty detections must still render (GT-only composite)
+    det0 = dict(boxes=np.zeros((0, 9)), scores=np.zeros(0),
+                labels=np.zeros(0, np.int64))
+    comp0 = render_nusc_frame(rec, det0, score_thr=0.3)
+    assert comp0.shape == comp.shape
