@@ -5,9 +5,10 @@ models/utils/positional_encoding.py:82-200).
 This is the legacy StreamPETR path that Far3D's shipped config registers but
 does not use (SURVEY.md §2.1); provided for API parity and for running
 StreamPETR-style dense-global-attention models on TPU. The reference's
-flash-attn CUDA kernel (models/utils/attention.py) maps to
-`jax.nn.dot_product_attention` — XLA emits a fused attention for these sizes,
-and bf16 on the MXU plays the role fp16 flash-attention plays on GPU.
+flash-attn CUDA kernel (models/utils/attention.py) maps to explicit bf16
+einsum attention with an f32 softmax (see FlashMHA below — the fused
+`jax.nn.dot_product_attention` lowering is ~17x slower at these shapes);
+bf16 on the MXU plays the role fp16 flash-attention plays on GPU.
 """
 
 from __future__ import annotations

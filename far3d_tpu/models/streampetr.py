@@ -12,8 +12,8 @@ Assembly on top of the shared TPU-native pieces:
                               StreamPETR machinery Far3D inherited,
                               farhead.py:446-508)
   * decoder                 — PETRTemporalTransformer (dense cross-attention,
-                              fused bf16 dot_product_attention instead of the
-                              reference's flash-attn CUDA ext)
+                              explicit bf16 einsum attention with f32 softmax
+                              instead of the reference's flash-attn CUDA ext)
   * heads                   — weight-shared cls/reg branches + the same
                               NMS-free decode as Far3D
 """
