@@ -16,14 +16,18 @@ Secondary driver-visible numbers ride on the same line:
   * `streampetr_6cam_320x800_fps` — the second model family's streaming fps
     (same protocol as tools/benchmark_nusc.py), so its round-over-round
     trajectory is auditable, not builder-reported.
-  * `train_step_it_per_s` — full-model batch-1 train step (Pallas fwd+bwd),
-    only with --train-step: the Pallas backward kernels go through the
-    remote-compile endpoint which occasionally hangs (CLAUDE.md), so it is
-    not allowed to jeopardize the default serving benchmark.
+  * `train_step_it_per_s` — full-model batch-1 train step (Pallas fwd+bwd).
+    The Pallas backward kernels go through the remote-compile endpoint which
+    occasionally hangs (CLAUDE.md), so this runs as a timeout-bounded CHILD
+    process BEFORE this process claims the chip (only one process can hold
+    it): a hang degrades the field to null instead of jeopardizing the
+    headline serving benchmark.
 """
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -148,37 +152,46 @@ def bench_streampetr(iters: int = 30):
     return iters / (time.perf_counter() - t0)
 
 
-def bench_train_step(iters: int = 20):
-    """Full-model batch-1 train step it/s (tools/benchmark.py --train-step
-    protocol, Pallas fwd+bwd kernels)."""
-    import jax
-    import numpy as np
-    from far3d_tpu import Far3DConfig
-    from far3d_tpu.train.step import create_train_state, make_train_step
-    from far3d_tpu.utils.synthetic import synthetic_batch
+def bench_train_step(timeout_s: int = 1200):
+    """Full-model batch-1 train step it/s via a child
+    `tools/benchmark.py --train-step` run (Pallas fwd+bwd kernels).
 
-    cfg = Far3DConfig()
-    state, tstate = create_train_state(cfg, jax.random.PRNGKey(0), 1)
-    batch = jax.device_put(synthetic_batch(cfg, batch=1))
-    step = jax.jit(make_train_step(cfg), donate_argnums=(1,))
-    state, tstate, metrics = step(state, tstate, batch, jax.random.PRNGKey(1))
-    float(np.asarray(metrics['total_loss']))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, tstate, metrics = step(state, tstate, batch,
-                                      jax.random.PRNGKey(1))
-    float(np.asarray(metrics['total_loss']))
-    return iters / (time.perf_counter() - t0)
+    Runs BEFORE this process initializes the TPU backend — only one process
+    can hold the chip — and is timeout-bounded so a hung Pallas remote
+    compile cannot wedge the headline benchmark. Returns it/s or None.
+    """
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cmd = [sys.executable, os.path.join(repo, 'tools', 'benchmark.py'),
+           '--train-step', '--iters', '20']
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout_s, cwd=repo)
+    except subprocess.TimeoutExpired:
+        print('# train-step bench timed out (hung remote compile?)',
+              file=sys.stderr, flush=True)
+        return None
+    for line in reversed(out.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith('{'):
+            rec = json.loads(line)
+            if rec.get('metric') == 'train_step_per_s':
+                return float(rec['value'])
+    print(f'# train-step bench produced no metric (rc={out.returncode}): '
+          f'{out.stderr.strip().splitlines()[-1:] or out.stdout[-200:]!r}',
+          file=sys.stderr, flush=True)
+    return None
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--train-step', action='store_true',
-                   help='also time the train step (Pallas bwd remote-compile '
-                        'can hang; off by default)')
     p.add_argument('--no-secondary', action='store_true',
-                   help='headline Far3D number only')
+                   help='headline Far3D number only (skips the StreamPETR '
+                        'and train-step secondaries)')
     args = p.parse_args()
+
+    # Train step first: it runs in a child process that needs the chip free
+    # (this process has not initialized the backend yet).
+    train_it_s = None if args.no_secondary else bench_train_step()
 
     from far3d_tpu.utils.backend import wait_for_backend
     wait_for_backend()
@@ -200,13 +213,8 @@ def main():
             print(f'# streampetr bench failed ({e!r})', file=sys.stderr,
                   flush=True)
             record['streampetr_6cam_320x800_fps'] = None
-    if args.train_step:
-        try:
-            record['train_step_it_per_s'] = round(bench_train_step(), 4)
-        except Exception as e:
-            print(f'# train-step bench failed ({e!r})', file=sys.stderr,
-                  flush=True)
-            record['train_step_it_per_s'] = None
+        record['train_step_it_per_s'] = (
+            round(train_it_s, 4) if train_it_s is not None else None)
     print(json.dumps(record))
 
 

@@ -141,6 +141,31 @@ def test_eval_shard_sampler():
     assert list(s2) == [8, 9, 9, 9] and s2.pad == 2
 
 
+def test_epoch_group_sampler():
+    """DistributedGroupSampler semantics (group_sampler.py:21-116): every
+    batch-chunk is group-pure, ranks partition one shared permutation, all
+    real indices are covered, and reshuffling is epoch-deterministic."""
+    from far3d_tpu.data.sampler import EpochGroupSampler
+
+    flags = np.asarray([0] * 5 + [1] * 3 + [2] * 7)   # ragged group sizes
+    bs, world = 2, 2
+    samplers = [EpochGroupSampler(flags, bs, rank=r, world_size=world, seed=3)
+                for r in range(world)]
+    per_rank = [list(s) for s in samplers]
+    n = samplers[0].num_samples
+    assert all(len(ix) == n for ix in per_rank)
+    # chunks of batch_size are group-pure on every rank
+    for ix in per_rank:
+        for i in range(0, n, bs):
+            assert len(set(flags[ix[i:i + bs]])) == 1
+    # union covers every real index (padding repeats, never drops)
+    assert set(per_rank[0]) | set(per_rank[1]) == set(range(len(flags)))
+    # deterministic per epoch; different across epochs
+    assert list(samplers[0]) == per_rank[0]
+    samplers[0].set_epoch(1)
+    assert list(samplers[0]) != per_rank[0]
+
+
 def test_warp_pipeline_matches_resize_crop():
     """The single-pass warpAffine resampling must reproduce the reference's
     float-resize-then-crop chain (custom_pipeline.py:71-111) to uint8

@@ -91,6 +91,15 @@ def main():
     # concat-fuse 1x1 at stage3 (1056 -> 512)
     bench_pair('1056->1056 1x1 @80x120 (concat)', (80, 120), 1056, 1056, k=1)
 
+    # ---- beyond-backbone candidates (VERDICT r3 #6): FPN output convs,
+    # YOLOX tower convs, depth-net convs. All 256-ch 3x3 at the four level
+    # spatials of the 640x960 input; the 2D heads total ~2.6 ms and the FPN
+    # ~2 ms of the 71 ms frame, so these micros bound the end-to-end win.
+    for hw, tag in (((80, 120), 'P3'), ((40, 60), 'P4'),
+                    ((20, 30), 'P5'), ((10, 15), 'P6')):
+        bench_pair(f'256x256 3x3 @{hw[0]}x{hw[1]} (fpn/yolox {tag})',
+                   hw, 256, 256)
+
 
 if __name__ == '__main__':
     main()

@@ -74,13 +74,15 @@ def main():
           (value, loc, w))
 
     def prep_only(l, w_):
+        # v2 kernels compute corner data in-kernel; _Prep is just the sort,
+        # row padding, and chunk-range tables
         pr = _Prep(shapes, l, w_)
-        s = sum(x.sum() for x in pr.idx_segs)
-        s += sum(x.sum() for x in pr.bw_segs)
+        s = pr.loc_rows.sum() + pr.qorder.sum()
         s += sum(x.sum() for x in pr.wa_segs)
-        return s + pr.qorder.sum()
+        s += sum(x.sum() for x in pr.rng_segs)
+        return s
 
-    timed('_Prep only (sort + corner data)', prep_only, (loc, w))
+    timed('_Prep only (sort + ranges)', prep_only, (loc, w))
 
     # wrapper total = msda - kernel; estimate kernel via a second msda call
     # on presorted inputs? Instead time 2x chained msda to check per-op cost
