@@ -66,13 +66,6 @@ L_BLK = 512
 # that every bilinear corner is out of bounds at any level (weights -> 0)
 _PAD_LOC = -4.0
 
-# One-hot construction variant for the fwd kernel's inner loop (a VPU-bound
-# op-count experiment, docs/PROFILE.md "MSDA one-hot VPU bound"):
-#   'castmul': sel += (iota == idx).astype(bf16) * bw     (4 ops/corner)
-#   'select':  sel_f32 += where(iota == idx, bw, 0)       (3 ops/corner,
-#              f32 select — Mosaic's bf16 select on an i1 mask miscompiles)
-# Flip via tools/dev_micro_msda_onehot.py only; 'castmul' is the shipped mode.
-SEL_MODE = 'castmul'
 
 
 def _round_up(x: int, m: int) -> int:
@@ -166,29 +159,23 @@ def _make_kernel(blocks_per_level: int, c: int, groups: int):
         def _():
             idx4, bw4 = _kernel_corners(loc_ref, hw_ref, clo_ref, level,
                                         rows_as_lanes=False)
-            bwh4 = bw4.astype(jnp.bfloat16)
 
             def body(li, acc):
                 s = (clo_ref[level] + li) * L_BLK
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (R_BLK, L_BLK), 1) + s
-                if SEL_MODE == 'select':
-                    sel_f = jnp.zeros((R_BLK, L_BLK), jnp.float32)
-                    for ci in range(4):
-                        sel_f = sel_f + jnp.where(
-                            iota == idx4[:, ci][:, None],
-                            bw4[:, ci][:, None], 0.0)
-                    sel = sel_f.astype(jnp.bfloat16)
-                else:
-                    # built directly in bf16: saves the f32 staging buffer
-                    # (VMEM headroom at training shapes). mask.astype +
-                    # multiply instead of jnp.where — Mosaic's bf16 select on
-                    # an i1 mask hits an "invalid relayout" compiler bug.
-                    sel = jnp.zeros((R_BLK, L_BLK), jnp.bfloat16)
-                    for ci in range(4):
-                        onehot = (iota == idx4[:, ci][:, None]
-                                  ).astype(jnp.bfloat16)
-                        sel = sel + onehot * bwh4[:, ci][:, None]
+                # f32 select-accumulate: 3 VPU ops/corner vs 4 for the
+                # cast+multiply form — measured 7.4% faster fwd at inference
+                # geometry (8.63 -> 7.99 ms, tools/dev_micro_msda_onehot.py,
+                # docs/PROFILE.md "one-hot select"). The f32 staging buffer
+                # is required: Mosaic's bf16 select on an i1 mask hits an
+                # "invalid relayout" compiler bug.
+                sel_f = jnp.zeros((R_BLK, L_BLK), jnp.float32)
+                for ci in range(4):
+                    sel_f = sel_f + jnp.where(
+                        iota == idx4[:, ci][:, None],
+                        bw4[:, ci][:, None], 0.0)
+                sel = sel_f.astype(jnp.bfloat16)
                 chunk = val_ref[0, pl.ds(s, L_BLK), :]
                 return acc + jnp.dot(sel, chunk,
                                      preferred_element_type=jnp.float32)
