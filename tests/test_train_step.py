@@ -38,22 +38,48 @@ def test_train_step_runs(setup):
     np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
 
 
-def test_train_step_dp_mesh(setup):
-    """Data-parallel over the virtual 8-device CPU mesh."""
+def test_train_step_dp_mesh_matches_single_device(setup):
+    """Data-parallel over the virtual 8-device CPU mesh must be numerically
+    equivalent to a single-device step on the identical global batch — the
+    reference semantics being matched are DDP's gradient allreduce +
+    reduce_mean normalizers (mmdet_train.py:79-83, farhead.py:1027-1037);
+    same equality bar as test_cam_shard.py for camera sharding."""
     cfg, _, _, _, _ = setup
     from far3d_tpu.parallel.mesh import make_mesh, shard_batch
     ndev = len(jax.devices())
     assert ndev == 8, f'expected 8 virtual devices, got {ndev}'
     state, tstate = create_train_state(cfg, jax.random.PRNGKey(0), batch=ndev)
     batch = synthetic_batch(cfg, batch=ndev)
+    step = jax.jit(make_train_step(cfg, use_gt_depth=True))
+
+    # single-device reference: same global batch, everything on one device
+    want_state, want_tstate, want_metrics = step(state, tstate, batch,
+                                                 jax.random.PRNGKey(1))
+
     mesh = make_mesh()
     with jax.set_mesh(mesh):
-        batch = shard_batch(mesh, batch)
-        tstate = shard_batch(mesh, tstate)
-        step = jax.jit(make_train_step(cfg, use_gt_depth=True))
-        new_state, new_tstate, metrics = step(state, tstate, batch,
+        sbatch = shard_batch(mesh, batch)
+        ststate = shard_batch(mesh, tstate)
+        new_state, new_tstate, metrics = step(state, ststate, sbatch,
                                               jax.random.PRNGKey(1))
-    assert np.isfinite(np.asarray(metrics['total_loss']))
+        got_total = float(np.asarray(metrics['total_loss']))
+        got_params = jax.device_get(new_state.params)
+        got_embed = np.asarray(new_tstate.embedding)
+
+    assert np.isfinite(got_total)
+    np.testing.assert_allclose(
+        got_total, float(np.asarray(want_metrics['total_loss'])), rtol=1e-4)
+    # updated params: lane math is identical, only the cross-lane loss/grad
+    # reduction order differs (allreduce), so tolerances are reassociation-
+    # sized relative to the AdamW update scale (~lr)
+    flat_want, treedef = jax.tree_util.tree_flatten(want_state.params)
+    flat_got = treedef.flatten_up_to(got_params)
+    for w, g in zip(flat_want, flat_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-5)
+    # sharded temporal carry comes back equal too
+    np.testing.assert_allclose(got_embed, np.asarray(want_tstate.embedding),
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_ema_params_track(setup):
