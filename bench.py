@@ -173,7 +173,10 @@ def bench_train_step(timeout_s: int = 1200):
     for line in reversed(out.stdout.splitlines()):
         line = line.strip()
         if line.startswith('{'):
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except ValueError:  # stray '{'-prefixed log line, keep scanning
+                continue
             if rec.get('metric') == 'train_step_per_s':
                 return float(rec['value'])
     print(f'# train-step bench produced no metric (rc={out.returncode}): '
@@ -190,8 +193,16 @@ def main():
     args = p.parse_args()
 
     # Train step first: it runs in a child process that needs the chip free
-    # (this process has not initialized the backend yet).
-    train_it_s = None if args.no_secondary else bench_train_step()
+    # (this process has not initialized the backend yet). Any failure here
+    # (spawn error, stray '{'-line breaking json.loads, ...) must degrade the
+    # secondary to null, never abort before the headline number exists.
+    train_it_s = None
+    if not args.no_secondary:
+        try:
+            train_it_s = bench_train_step()
+        except Exception as e:
+            print(f'# train-step bench failed ({e!r})', file=sys.stderr,
+                  flush=True)
 
     from far3d_tpu.utils.backend import wait_for_backend
     wait_for_backend()

@@ -103,15 +103,25 @@ def compose_camera_grid(images: Sequence[np.ndarray], cols: int = 3,
     out row-major in `cols` columns, and append the BEV canvas (scaled to the
     grid height) on the right."""
     import cv2
+    if not images:
+        raise ValueError('compose_camera_grid needs at least one image')
+    # Uniform width resize; tile height = the MAJORITY aspect (an AV2-style
+    # rig has one portrait front cam among six landscape ones — deriving from
+    # images[0] would stretch the six), then pad/crop oddballs to tile_h
+    # without distorting them.
+    heights = [int(round(img.shape[0] * tile_w / img.shape[1]))
+               for img in images]
+    tile_h = max(set(heights), key=heights.count)
     tiles = []
-    tile_h = None
-    for img in images:
-        h, w = img.shape[:2]
-        th = int(round(h * tile_w / w))
-        tile_h = th if tile_h is None else tile_h
+    for img, th in zip(images, heights):
         t = cv2.resize(img, (tile_w, th))
-        if th != tile_h:     # mixed aspect ratios: pad/crop to the first tile
-            t = cv2.resize(img, (tile_w, tile_h))
+        if th > tile_h:      # portrait oddball: center-crop vertically
+            off = (th - tile_h) // 2
+            t = t[off:off + tile_h]
+        elif th < tile_h:    # short oddball: pad top/bottom with black
+            pad = tile_h - th
+            t = cv2.copyMakeBorder(t, pad // 2, pad - pad // 2, 0, 0,
+                                   cv2.BORDER_CONSTANT, value=0)
         tiles.append(t)
     rows = []
     for r in range(0, len(tiles), cols):
