@@ -153,6 +153,10 @@ def _make_kernel(blocks_per_level: int, c: int, groups: int):
         r = pl.program_id(1)
         level = r // blocks_per_level
         qoff = r % blocks_per_level
+        # NOTE: an extra `rlo < rhi` skip for empty-chunk-range blocks (their
+        # output is exactly zero) measured NEUTRAL end to end — see
+        # docs/PROFILE.md "empty-block epilogue skip" — so the gate stays
+        # minimal. Do not retry without new geometry evidence.
         active = qoff * Q_BLK < nv_ref[b, level]
 
         @pl.when(active)
