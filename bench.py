@@ -13,9 +13,10 @@ renamed `..._bf16` and `degraded: true` is set so a driver that only archives
 the line still records that the serving path broke.
 
 Secondary driver-visible numbers ride on the same line:
-  * `streampetr_6cam_320x800_fps` — the second model family's streaming fps
-    (same protocol as tools/benchmark_nusc.py), so its round-over-round
-    trajectory is auditable, not builder-reported.
+  * `streampetr_6cam_320x800_fps_<mode>` — the second model family's
+    streaming fps in ITS serving mode (int8 PTQ backbone, loud bf16
+    fallback; same protocol as tools/benchmark_nusc.py --quant), so its
+    round-over-round trajectory is auditable, not builder-reported.
   * `train_step_it_per_s` — full-model batch-1 train step (Pallas fwd+bwd).
     The Pallas backward kernels go through the remote-compile endpoint which
     occasionally hangs (CLAUDE.md), so this runs as a timeout-bounded CHILD
@@ -62,8 +63,12 @@ def bench_far3d():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), state=tstate,
                                     **kwargs)
 
-    # Serving mode: int8 PTQ backbone (ops/quant.py). Accuracy is bounded
-    # closed-loop for both families (docs/SERVING.md).
+    # Serving mode: int8 PTQ backbone (ops/quant.py). Backbone-ONLY is the
+    # measured optimum: quantizing the FPN/2D heads too lost 3% end-to-end
+    # despite 1.3-1.8x micro wins on those conv shapes (docs/PROFILE.md
+    # round-5 refutation — the f32 requant round trips outweigh the MXU
+    # savings). Accuracy is bounded closed-loop for both families
+    # (docs/SERVING.md).
     mode, degraded, quant_tree = 'int8', False, None
     try:
         from far3d_tpu.ops.quant import quantize_detector_backbone
@@ -103,8 +108,9 @@ def bench_far3d():
 
 
 def bench_streampetr(iters: int = 30):
-    """Second family: StreamPETR 6-cam 320x800 streaming fps (bf16),
-    tools/benchmark_nusc.py protocol."""
+    """Second family: StreamPETR 6-cam 320x800 streaming fps in its serving
+    mode (int8 PTQ backbone, loud bf16 fallback like the headline),
+    tools/benchmark_nusc.py protocol. Returns (fps, mode, degraded)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -133,9 +139,20 @@ def bench_streampetr(iters: int = 30):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), state=tstate,
                                     **kwargs)
 
+    mode, degraded, quant_tree = 'int8', False, None
+    try:
+        from far3d_tpu.ops.quant import quantize_petr_backbone
+        quant_tree = quantize_petr_backbone(cfg, variables,
+                                            [kwargs['images']])
+    except Exception as e:  # pragma: no cover - defensive serving fallback
+        print(f'# streampetr int8 calibration FAILED ({e!r}); DEGRADED bf16 '
+              f'fallback', file=sys.stderr, flush=True)
+        mode, degraded, quant_tree = 'bf16', True, None
+
     @jax.jit
-    def step(variables, tstate, kw):
-        out = model.apply(variables, state=tstate, **kw)
+    def step(variables, tstate, kw, quant_tree):
+        out = model.apply(variables, state=tstate, quant_backbone=quant_tree,
+                          **kw)
         dets = decode_boxes(out['all_cls_scores'][-1],
                             out['all_bbox_preds'][-1],
                             out['query_valid'], cfg.max_decode_num,
@@ -143,13 +160,13 @@ def bench_streampetr(iters: int = 30):
         return dets, out['state']
 
     for _ in range(5):
-        dets, tstate = step(variables, tstate, kwargs)
+        dets, tstate = step(variables, tstate, kwargs, quant_tree)
     float(np.asarray(dets['scores']).ravel()[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        dets, tstate = step(variables, tstate, kwargs)
+        dets, tstate = step(variables, tstate, kwargs, quant_tree)
     float(np.asarray(dets['scores']).ravel()[0])
-    return iters / (time.perf_counter() - t0)
+    return iters / (time.perf_counter() - t0), mode, degraded
 
 
 def bench_train_step(timeout_s: int = 1200):
@@ -218,12 +235,14 @@ def main():
     }
     if not args.no_secondary:
         try:
-            record['streampetr_6cam_320x800_fps'] = round(bench_streampetr(),
-                                                          4)
+            sp_fps, sp_mode, sp_degraded = bench_streampetr()
+            record[f'streampetr_6cam_320x800_fps_{sp_mode}'] = round(sp_fps, 4)
+            if sp_degraded:
+                record['streampetr_degraded'] = True
         except Exception as e:  # secondary number must not kill the headline
             print(f'# streampetr bench failed ({e!r})', file=sys.stderr,
                   flush=True)
-            record['streampetr_6cam_320x800_fps'] = None
+            record['streampetr_6cam_320x800_fps_int8'] = None
         record['train_step_it_per_s'] = (
             round(train_it_s, 4) if train_it_s is not None else None)
     print(json.dumps(record))
