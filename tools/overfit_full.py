@@ -78,7 +78,8 @@ class CachedStreamLoader:
 
 
 def run_closed_loop_full(work, iters, eval_every=500, lr=1e-3,
-                         gt_depth_until=None, batch=1, seed=0):
+                         gt_depth_until=None, batch=1, seed=0,
+                         resume=False):
     import numpy as np
 
     from far3d_tpu.data.av2_dataset import AV2SequenceDataset
@@ -118,7 +119,7 @@ def run_closed_loop_full(work, iters, eval_every=500, lr=1e-3,
     print('# caching preprocessed frames ...', flush=True)
     loader = CachedStreamLoader(train_ds, cfg, batch, seed)
     state = run_training(cfg, loader, work, batch_size=batch,
-                         resume=False, max_iters=iters, eval_fn=eval_fn)
+                         resume=resume, max_iters=iters, eval_fn=eval_fn)
     if not curve or curve[-1]['iter'] != int(state.step):
         eval_fn(state)
     return curve
@@ -135,11 +136,20 @@ def main():
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--assert-map', type=float, default=None,
                     help='exit nonzero unless the final mAP reaches this')
+    ap.add_argument('--resume', action='store_true',
+                    help='continue an interrupted run from the latest '
+                         'checkpoint in --work (fresh run is the default: '
+                         'each overfit is normally a from-scratch '
+                         'experiment). NOTE: the data stream and temporal '
+                         'memory restart at the resume point (same policy '
+                         'as the reference IterBasedRunner resume), so a '
+                         'resumed curve is a valid learning trajectory but '
+                         'not bit-identical to an uninterrupted one.')
     args = ap.parse_args()
 
     curve = run_closed_loop_full(args.work, args.iters, args.eval_every,
                                  args.lr, args.gt_depth_until, args.batch,
-                                 args.seed)
+                                 args.seed, resume=args.resume)
     if args.assert_map is not None:
         final = curve[-1]['mAP'] if curve else 0.0
         if final < args.assert_map:
